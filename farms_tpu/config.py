@@ -1,0 +1,95 @@
+"""Configuration for the FARMS-TPU flow engine.
+
+Exposes every tunable of the reference implementation, including constants
+that are compiled-in there (reference: vFlow.cpp:73-74 windowJump/maxWindow,
+vFlow.cpp:961 KILL_OLD_FLOW_TIME, vFlow.h:27-28 MAXSTAMP/TSTOSEC,
+vFlow.cpp:1323 det threshold), plus TPU-specific batching/sharding knobs
+that have no counterpart in the single-threaded reference.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+
+def normalize_filter_size(filter_size: int) -> int:
+    """Reference filter-size normalization (vFlow.cpp:32-33).
+
+    Sizes below 5 collapse to 3; even sizes are decremented to odd.
+    """
+    if filter_size < 5:
+        filter_size = 3
+    if filter_size % 2 == 0:
+        filter_size -= 1
+    return filter_size
+
+
+@dataclasses.dataclass(frozen=True)
+class FlowConfig:
+    """Static configuration of the flow engine.
+
+    All fields are hashable/static so a config can key a jit cache.
+    """
+
+    # --- sensor geometry (reference: main.cpp:21-22 defaults) ---
+    width: int = 320
+    height: int = 320
+
+    # --- local plane fit (reference: main.cpp:23-24, vFlow.cpp:32-38) ---
+    filter_size: int = 3          # odd neighborhood size k; patch is k x k
+    min_evts_on_plane: int = 5    # inlier threshold to accept a plane
+
+    # --- multi-scale aperture correction (reference: vFlow.cpp:73-74, 961) ---
+    window_jump: int = 5          # scale stride
+    max_window: int = 50          # largest half-window; scales = 0..max step jump
+    kill_old_flow_time_us: int = 500  # freshness gate for pooling, microseconds
+
+    # --- timestamp model (reference: vFlow.h:27-28) ---
+    # Timestamps are unsigned 32-bit microseconds; differences are taken
+    # modulo 2**32 and interpreted as signed (see ops/local_flow.py).
+    ts_to_sec: float = 1e-6
+
+    # --- plane-fit acceptance (reference: vFlow.cpp:1323) ---
+    det_threshold: float = 1.0
+
+    # --- TPU batching (no reference counterpart; chunk_size=1 reproduces
+    #     the reference's strictly event-serial semantics) ---
+    chunk_size: int = 2048        # events per micro-step (static shape)
+    steps_per_scan: int = 8       # micro-steps fused into one lax.scan/jit call
+
+    # --- quirk toggles (reference defects catalogued in SURVEY.md SS2) ---
+    # The reference clamps the aperture window's y-range with `width`
+    # instead of `height` (vFlow.cpp:998-1000, 1111-1113). Harmless for
+    # square sensors; wrong (UB reads) otherwise. Default: correct clamping.
+    replicate_y_clamp_quirk: bool = False
+
+    def __post_init__(self):
+        object.__setattr__(
+            self, "filter_size", normalize_filter_size(self.filter_size)
+        )
+
+    # --- derived quantities (reference: vFlow.cpp:34-36) ---
+    @property
+    def f_rad(self) -> int:
+        return self.filter_size // 2
+
+    @property
+    def plane_size(self) -> int:
+        return self.filter_size * self.filter_size
+
+    @property
+    def num_scales(self) -> int:
+        return self.max_window // self.window_jump + 1
+
+    @property
+    def scales(self) -> tuple[int, ...]:
+        return tuple(range(0, self.max_window + 1, self.window_jump))
+
+    @property
+    def support_radius(self) -> int:
+        """Half-width of the gather support covering all 9 candidate patches."""
+        return 2 * self.f_rad
+
+    @property
+    def halo_width(self) -> int:
+        """Surface halo a spatial tile needs from its neighbors."""
+        return max(self.max_window, self.support_radius)

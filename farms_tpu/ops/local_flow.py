@@ -1,0 +1,198 @@
+"""Batched local plane-fit flow (JAX/XLA formulation).
+
+Reimplements the reference's per-event `computeLocalFlow` + `computeGrads`
+(vFlow.cpp:841-949, 1214-1381) as one vectorized computation over an event
+micro-batch:
+
+1. one support-patch gather of (4*f_rad+1)^2 time-surface cells per event
+   covers all 9 candidate k x k windows at offsets {-f_rad, 0, +f_rad}^2;
+2. candidate scoring = windowed means of (t_ev - t_cell), first strict
+   minimum in the reference's scan order (x-offset outer, y inner);
+3. the winning window feeds a closed-form 3x3 normal-equation solve.
+
+Numerics: timestamps are int32 microseconds; all differences are exact
+integer subtractions cast to f32, and plane-fit coordinates are centered on
+the event before forming AtA, so the Gram determinant is computed from
+small integers (translation leaves det(A^T A) invariant because the shift
+matrix is unimodular). The reference computes the same quantities in f64
+from absolute coordinates (vFlow.cpp:1307-1323), which is mathematically
+identical but numerically far worse conditioned.
+
+Timestamp wraparound: the reference adds MAXSTAMP=2^32 when a stored stamp
+exceeds the current event's (vFlow.cpp:897-902, 1229-1233), i.e. interprets
+stamp differences modulo 2^32. We take int32 differences, which agree with
+that on all sorted streams (and additionally give small-magnitude values for
+slightly-future co-batch neighbors, which only exist in batched mode).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from farms_tpu.config import FlowConfig
+
+
+def local_flow_batch(
+    t_pre: jax.Array,     # int32 [W, H] stamps before this micro-batch
+    touched_pre: jax.Array,
+    t_post: jax.Array,    # int32 [W, H] stamps after scattering the batch
+    touched_post: jax.Array,
+    x: jax.Array,         # int32 [m]
+    y: jax.Array,         # int32 [m]
+    t_ev: jax.Array,      # int32 [m] event stamps (us, normalized)
+    cfg: FlowConfig,
+):
+    """Compute local flow for a micro-batch of events.
+
+    Returns (raw_vx, raw_vy, gate_valid, length, theta): raw_vx/raw_vy are
+    the reference's FlowEvent values (zero when the fit is rejected, possibly
+    inf/nan when dtdp == 0 with min_evts_on_plane == 0); gate_valid is the
+    driver's validity gate (vFlow.cpp:315); length/theta are the local polar
+    flow, meaningful only where gate_valid.
+    """
+    W, H = cfg.width, cfg.height
+    k = cfg.filter_size
+    f_rad = cfg.f_rad
+    R = cfg.support_radius  # 2*f_rad
+    S = 2 * R + 1
+
+    m = x.shape[0]
+    du = jnp.arange(-R, R + 1, dtype=jnp.int32)
+
+    # ---- support gather: [m, S, S] ----
+    gx = jnp.broadcast_to(x[:, None, None] + du[None, :, None], (m, S, S))
+    gy = jnp.broadcast_to(y[:, None, None] + du[None, None, :], (m, S, S))
+    cgx = jnp.clip(gx, 0, W - 1)
+    cgy = jnp.clip(gy, 0, H - 1)
+
+    # Causal patch view: the reference is event-serial, so event i must not
+    # see writes from later events. Per cell, take the post-scatter value
+    # when its stamp is <= the event's own stamp, otherwise fall back to the
+    # pre-batch value (slightly stale only when one pixel receives multiple
+    # co-batch events straddling t_ev, but never acausal). The event's own
+    # pixel always shows the event itself (vFlow.cpp:267 writes cSurf
+    # before computeLocalFlow reads it).
+    post_t = t_post[cgx, cgy]
+    causal = post_t <= t_ev[:, None, None]
+    own = (cgx == x[:, None, None]) & (cgy == y[:, None, None])
+    t_patch = jnp.where(causal, post_t, t_pre[cgx, cgy])
+    t_patch = jnp.where(own, t_ev[:, None, None], t_patch)
+    touched_patch = jnp.where(
+        causal, touched_post[cgx, cgy], touched_pre[cgx, cgy]
+    ) | own
+
+    # signed us difference, exact in int32 then cast
+    d_patch = (t_ev[:, None, None] - t_patch).astype(jnp.float32)
+
+    # ---- 9 candidate scores ----
+    offsets = (-f_rad, 0, f_rad)
+    scores = []
+    cand_valid = []
+    for a in offsets:          # x offset outer (vFlow.cpp:870)
+        for b in offsets:      # y offset inner (vFlow.cpp:872)
+            # window cells span du in [a-f_rad, a+f_rad]; support index du+R
+            win = d_patch[:, a + f_rad:a + f_rad + k,
+                          b + f_rad:b + f_rad + k]
+            scores.append(jnp.mean(win, axis=(1, 2)))
+            ok = (
+                (x + (a - f_rad) >= 0)
+                & (x + (a + f_rad) <= W - 1)
+                & (y + (b - f_rad) >= 0)
+                & (y + (b + f_rad) <= H - 1)
+            )  # full-window requirement (border skip, vFlow.cpp:889)
+            cand_valid.append(ok)
+    scores = jnp.stack(scores, axis=1)          # [m, 9]
+    cand_valid = jnp.stack(cand_valid, axis=1)  # [m, 9]
+    scores = jnp.where(cand_valid, scores, jnp.inf)
+    best = jnp.argmin(scores, axis=1)           # first minimum = scan order
+    local_ok = jnp.isfinite(jnp.take_along_axis(scores, best[:, None], 1))[:, 0]
+
+    # ---- gather the winning k x k window ----
+    a_best = (best // 3).astype(jnp.int32) * f_rad  # support start index
+    b_best = (best % 3).astype(jnp.int32) * f_rad
+
+    def _slice(arr, a0, b0):
+        return jax.lax.dynamic_slice(arr, (a0, b0), (k, k))
+
+    slicer = jax.vmap(_slice)
+    d_win = slicer(d_patch, a_best, b_best)          # f32 [m,k,k]
+    t_win = slicer(t_patch, a_best, b_best)          # i32 [m,k,k]
+    tchd_win = slicer(touched_patch, a_best, b_best)
+    px_win = slicer(cgx, a_best, b_best)             # i32 absolute coords
+    py_win = slicer(cgy, a_best, b_best)
+
+    # ---- plane fit (computeGrads, vFlow.cpp:1241-1381) ----
+    # A rows are the *stored events'* coordinates: the pixel coordinate when
+    # the pixel was ever written, or (0, 0) from the Event() initializer
+    # otherwise (vFlow.cpp:80-93). Centered on the event for conditioning.
+    u = jnp.where(tchd_win, px_win - x[:, None, None], -x[:, None, None])
+    v = jnp.where(tchd_win, py_win - y[:, None, None], -y[:, None, None])
+    u = u.astype(jnp.float32)
+    v = v.astype(jnp.float32)
+    # Y' = Y - cz in seconds: stored stamp minus event stamp
+    yv = -d_win * jnp.float32(cfg.ts_to_sec)
+
+    n = jnp.float32(k * k)
+    su = jnp.sum(u, axis=(1, 2))
+    sv = jnp.sum(v, axis=(1, 2))
+    suu = jnp.sum(u * u, axis=(1, 2))
+    svv = jnp.sum(v * v, axis=(1, 2))
+    suv = jnp.sum(u * v, axis=(1, 2))
+    b0 = jnp.sum(u * yv, axis=(1, 2))
+    b1 = jnp.sum(v * yv, axis=(1, 2))
+    b2 = jnp.sum(yv, axis=(1, 2))
+
+    det = (
+        suu * (svv * n - sv * sv)
+        - suv * (suv * n - sv * su)
+        + su * (suv * sv - svv * su)
+    )
+    det_ok = det >= jnp.float32(cfg.det_threshold)  # vFlow.cpp:1323
+    safe_det = jnp.where(det_ok, det, 1.0)
+
+    adj00 = svv * n - sv * sv
+    adj01 = su * sv - suv * n
+    adj02 = suv * sv - svv * su
+    adj11 = suu * n - su * su
+    adj12 = su * suv - suu * sv
+    a_coef = (adj00 * b0 + adj01 * b1 + adj02 * b2) / safe_det
+    b_coef = (adj01 * b0 + adj11 * b1 + adj12 * b2) / safe_det
+
+    dtdp2 = a_coef * a_coef + b_coef * b_coef
+    dtdp = jnp.sqrt(dtdp2)
+
+    # inliers (vFlow.cpp:1352-1369): |planedt - actualdt| < dtdp/2 and Y > 0.
+    # Y > 0 iff the stored stamp is a positive past stamp (t=0 init cells and
+    # wrapped/future stamps are excluded).
+    plane_dt = a_coef[:, None, None] * u + b_coef[:, None, None] * v
+    eligible = (t_win != 0) & (d_win >= 0)
+    inlier = (jnp.abs(plane_dt - yv) < (dtdp / 2)[:, None, None]) & eligible
+    inliers = jnp.sum(inlier, axis=(1, 2))
+
+    accept = local_ok & det_ok & (inliers >= cfg.min_evts_on_plane)
+
+    # velocity inversion (vFlow.cpp:1373-1377): speed = 1/dtdp,
+    # angle = atan2(a, b), vx = speed*cos(angle), vy = speed*sin(angle).
+    # The trig form is kept deliberately: for axis-aligned planes (a or b
+    # exactly 0) the reference's validity gate `vx != 0 && vy != 0` passes
+    # only because cos(atan2(...)) rounds to a tiny nonzero value; the
+    # algebraically equivalent b/dtdp^2 would give an exact 0 and flip the
+    # gate. dtdp == 0 also reproduces the reference's inf/nan pair
+    # (speed = inf, angle = 0 => vx = inf, vy = inf*0 = nan).
+    speed = 1.0 / dtdp
+    angle = jnp.arctan2(a_coef, b_coef)
+    vx_fit = speed * jnp.cos(angle)
+    vy_fit = speed * jnp.sin(angle)
+
+    raw_vx = jnp.where(accept, vx_fit, 0.0)
+    raw_vy = jnp.where(accept, vy_fit, 0.0)
+
+    # driver validity gate (vFlow.cpp:315)
+    gate_valid = (
+        ~jnp.isnan(raw_vx) & ~jnp.isnan(raw_vy) & (raw_vx != 0) & (raw_vy != 0)
+    )
+    length = jnp.sqrt(raw_vx * raw_vx + raw_vy * raw_vy)
+    theta = jnp.arctan2(raw_vy, raw_vx)
+    return raw_vx, raw_vy, gate_valid, length, theta

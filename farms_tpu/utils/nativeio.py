@@ -1,0 +1,103 @@
+"""ctypes bridge to the native C++ fast I/O library (native/fast_io.cpp).
+
+Parsing 100M+ line event files and formatting 11-column output dominates
+host-side time for large runs; the native library does both with mmap'd
+buffers. Every entry point degrades gracefully to `None`/`False` when the
+shared library is absent so pure-Python callers always work.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _lib():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    for cand in (
+        os.path.join(here, "native", "libfarmsio.so"),
+        os.path.join(os.path.dirname(__file__), "libfarmsio.so"),
+    ):
+        if os.path.exists(cand):
+            try:
+                lib = ctypes.CDLL(cand)
+                lib.farms_parse_events.restype = ctypes.c_longlong
+                lib.farms_parse_events.argtypes = [
+                    ctypes.c_char_p,
+                    ctypes.c_longlong,
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.POINTER(ctypes.c_uint32),
+                    ctypes.POINTER(ctypes.c_int32),
+                ]
+                lib.farms_count_lines.restype = ctypes.c_longlong
+                lib.farms_count_lines.argtypes = [ctypes.c_char_p]
+                lib.farms_write_flow.restype = ctypes.c_int
+                lib.farms_write_flow.argtypes = [
+                    ctypes.c_char_p,
+                    ctypes.c_longlong,
+                    ctypes.POINTER(ctypes.c_double),
+                ]
+                _LIB = lib
+            except OSError:
+                _LIB = None
+            break
+    return _LIB
+
+
+def available() -> bool:
+    return _lib() is not None
+
+
+def parse_events(path: str, max_events: int | None) -> np.ndarray | None:
+    """Parse `x y t p` text into a float64 [N,4] matrix via the native lib."""
+    lib = _lib()
+    if lib is None or not os.path.exists(path):
+        return None
+    cap = lib.farms_count_lines(path.encode())
+    if cap < 0:
+        return None
+    if max_events is not None:
+        cap = min(cap, max_events)
+    x = np.empty(cap, dtype=np.int32)
+    y = np.empty(cap, dtype=np.int32)
+    t = np.empty(cap, dtype=np.uint32)
+    p = np.empty(cap, dtype=np.int32)
+    n = lib.farms_parse_events(
+        path.encode(),
+        cap,
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        y.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        t.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        p.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if n < 0:
+        return None
+    out = np.empty((n, 4), dtype=np.float64)
+    out[:, 0] = x[:n]
+    out[:, 1] = y[:n]
+    out[:, 2] = t[:n]
+    out[:, 3] = p[:n]
+    return out
+
+
+def write_flow(path: str, mat: np.ndarray) -> bool:
+    """Write the 11-column matrix via the native formatter."""
+    lib = _lib()
+    if lib is None:
+        return False
+    mat = np.ascontiguousarray(mat, dtype=np.float64)
+    rc = lib.farms_write_flow(
+        path.encode(),
+        mat.shape[0],
+        mat.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    return rc == 0
