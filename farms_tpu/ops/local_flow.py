@@ -83,8 +83,14 @@ def local_flow_batch(
         causal, touched_post[cgx, cgy], touched_pre[cgx, cgy]
     ) | own
 
-    # signed us difference, exact in int32 then cast
-    d_patch = (t_ev[:, None, None] - t_patch).astype(jnp.float32)
+    # us difference modulo 2^32, exactly as the reference computes it:
+    # signed int32 subtraction is exact, and stamps from the "future"
+    # (stored > current) get +MAXSTAMP (vFlow.cpp:897-902), i.e. the
+    # difference is interpreted as unsigned. Inside the engine the causal
+    # gather guarantees d >= 0, so the correction only matters for direct
+    # kernel calls on arbitrary surfaces.
+    d_signed = (t_ev[:, None, None] - t_patch).astype(jnp.float32)
+    d_patch = jnp.where(d_signed < 0, d_signed + jnp.float32(2.0**32), d_signed)
 
     # ---- 9 candidate scores ----
     offsets = (-f_rad, 0, f_rad)
@@ -131,7 +137,9 @@ def local_flow_batch(
     v = jnp.where(tchd_win, py_win - y[:, None, None], -y[:, None, None])
     u = u.astype(jnp.float32)
     v = v.astype(jnp.float32)
-    # Y' = Y - cz in seconds: stored stamp minus event stamp
+    # Y' = Y - cz in seconds: stored stamp minus event stamp; the mod-2^32
+    # correction in d_win matches the reference's -MAXSTAMP wrap of Y
+    # (vFlow.cpp:1229-1233)
     yv = -d_win * jnp.float32(cfg.ts_to_sec)
 
     n = jnp.float32(k * k)
@@ -167,7 +175,8 @@ def local_flow_batch(
     # Y > 0 iff the stored stamp is a positive past stamp (t=0 init cells and
     # wrapped/future stamps are excluded).
     plane_dt = a_coef[:, None, None] * u + b_coef[:, None, None] * v
-    eligible = (t_win != 0) & (d_win >= 0)
+    # Y > 0 iff stored stamp positive and not wrap-corrected (d in [0, 2^31))
+    eligible = (t_win != 0) & (d_win < jnp.float32(2.0**31))
     inlier = (jnp.abs(plane_dt - yv) < (dtdp / 2)[:, None, None]) & eligible
     inliers = jnp.sum(inlier, axis=(1, 2))
 

@@ -1,0 +1,125 @@
+"""Golden tests: the engine vs the float64 serial oracle.
+
+SURVEY.md SS4 item (1): run the reference semantics on small synthetic event
+streams and compare all 11 output columns within AEE/angular tolerance.
+chunk_size=1 must reproduce the oracle almost exactly (f32 vs f64 only);
+larger chunks must stay within the BASELINE.json budget
+(AEE < 0.5 px/ms, angular error < 5 deg).
+"""
+import numpy as np
+import pytest
+
+from farms_tpu.config import FlowConfig
+from farms_tpu.events.io import synthetic_random_events, synthetic_translating_bar
+from farms_tpu.pipeline.engine import FlowEngine
+from farms_tpu.pipeline.oracle import run_oracle
+
+
+def _true_vectors(out):
+    return np.stack(
+        [out.r_true * np.cos(out.theta_true),
+         out.r_true * np.sin(out.theta_true)], axis=1
+    )
+
+
+def _angular_err_deg(a, b, mask):
+    d = np.angle(np.exp(1j * (a.theta_true[mask] - b.theta_true[mask])))
+    return np.degrees(np.abs(d))
+
+
+@pytest.fixture(scope="module")
+def bar_events():
+    return synthetic_translating_bar(
+        width=64, height=64, bar_len=20, duration_us=30000,
+        speed_px_per_sec=1000, jitter_us=20, seed=1,
+    )[:600]
+
+
+@pytest.fixture(scope="module")
+def bar_oracle(bar_events):
+    cfg = FlowConfig(width=64, height=64)
+    return run_oracle(bar_events, cfg)
+
+
+def test_serial_mode_matches_oracle(bar_events, bar_oracle):
+    cfg = FlowConfig(width=64, height=64, chunk_size=1, steps_per_scan=32)
+    got = FlowEngine(cfg).process(bar_events)
+    ref = bar_oracle
+
+    ref_valid = ref.r_local > 0
+    got_valid = got.r_local > 0
+    np.testing.assert_array_equal(ref_valid, got_valid)
+    np.testing.assert_array_equal(ref.scale, got.scale)
+    np.testing.assert_array_equal(ref.t, got.t)
+
+    m = ref_valid
+    np.testing.assert_allclose(got.r_local[m], ref.r_local[m], rtol=1e-4)
+    np.testing.assert_allclose(got.r_true[m], ref.r_true[m], rtol=1e-4)
+    assert _angular_err_deg(ref, got, m).max() < 0.01
+
+
+def test_serial_mode_matches_oracle_random_stream():
+    """Stress: random events incl. duplicate pixels, invalid fits, borders."""
+    ev = synthetic_random_events(800, width=48, height=48, rate_hz=3e6, seed=9)
+    cfg = FlowConfig(width=48, height=48, chunk_size=1, steps_per_scan=32)
+    ref = run_oracle(ev, cfg)
+    got = FlowEngine(cfg).process(ev)
+
+    ref_valid = ref.r_local > 0
+    got_valid = got.r_local > 0
+    # f32 vs f64 may flip knife-edge det/inlier cases on noise-only fits
+    flips = int((ref_valid != got_valid).sum())
+    assert flips <= len(ev) * 0.01
+    m = ref_valid & got_valid
+    if m.any():
+        np.testing.assert_allclose(got.r_local[m], ref.r_local[m],
+                                   rtol=1e-3, atol=1e-3)
+        assert _angular_err_deg(ref, got, m).max() < 0.5
+        same_scale = (ref.scale[m] == got.scale[m]).mean()
+        assert same_scale > 0.98
+
+
+def test_ground_truth_flow_convention(bar_oracle):
+    """A bar translating in +x at v px/s reports (vx=0, vy=v): the reference
+    uses atan2(a, b) (x-gradient first), a deliberate 90-degree convention
+    (vFlow.cpp:1375)."""
+    ref = bar_oracle
+    m = ref.r_local > 0
+    assert m.mean() > 0.5
+    # median local flow direction ~ +y (90 deg), speed ~ 1000 px/s
+    med_theta = np.degrees(np.median(ref.theta_local[m]))
+    assert abs(med_theta - 90.0) < 15.0
+    med_speed = np.median(ref.r_local[m])
+    assert abs(med_speed - 1000) / 1000 < 0.35
+
+
+@pytest.mark.parametrize("chunk_size", [64, 256])
+def test_chunked_mode_within_budget(bar_events, bar_oracle, chunk_size):
+    cfg = FlowConfig(width=64, height=64, chunk_size=chunk_size,
+                     steps_per_scan=4)
+    got = FlowEngine(cfg).process(bar_events)
+    ref = bar_oracle
+
+    ref_valid = ref.r_local > 0
+    got_valid = got.r_local > 0
+    assert (ref_valid != got_valid).mean() < 0.05
+
+    m = ref_valid & got_valid
+    # BASELINE.json budget: AEE < 0.5 px/ms = 500 px/s, angular < 5 deg
+    aee = np.linalg.norm(
+        _true_vectors(ref)[m] - _true_vectors(got)[m], axis=1
+    ).mean()
+    assert aee < 500.0
+    assert _angular_err_deg(ref, got, m).mean() < 5.0
+
+
+def test_streaming_continuation_equals_one_shot(bar_events):
+    """process() called in pieces must equal one call (state carry)."""
+    cfg = FlowConfig(width=64, height=64, chunk_size=32, steps_per_scan=2)
+    one = FlowEngine(cfg).process(bar_events)
+    eng = FlowEngine(cfg)
+    parts = [eng.process(bar_events[:256]), eng.process(bar_events[256:])]
+    # chunk boundaries differ (padding at the split), so compare only the
+    # first segment, which is chunk-aligned (256 = 4 calls of 64)
+    np.testing.assert_allclose(one.r_true[:256], parts[0].r_true, rtol=1e-6)
+    np.testing.assert_array_equal(one.scale[:256], parts[0].scale)
