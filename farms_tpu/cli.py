@@ -1,0 +1,123 @@
+"""Command-line interface mirroring the reference FARMS_Flow executable.
+
+All reference flags are supported with identical spellings and defaults
+(main.cpp:36-47: --filename --height --width --filtersize --inlierCheck
+--numEvents/--numevents/--NUMEVENTS --SERIAL --v), plus TPU-specific
+batching/sharding flags the reference has no counterpart for. Output and
+the closing benchmark line match the reference formats
+(vFlow.cpp:433-442, main.cpp:201-209).
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from farms_tpu.config import FlowConfig
+from farms_tpu.events.io import load_events_txt, write_flow_txt
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="farms-flow",
+        description="TPU-native aperture-robust multi-scale event optical flow",
+    )
+    # reference flags (main.cpp:36-47)
+    p.add_argument("--filename", type=str, required=True,
+                   help="events file name without extension (.txt)")
+    p.add_argument("--height", type=int, default=320, help="sensor height")
+    p.add_argument("--width", type=int, default=320, help="sensor width")
+    p.add_argument("--filtersize", type=int, default=3,
+                   help="neighborhood size for plane fitting")
+    p.add_argument("--inlierCheck", type=int, default=5,
+                   help="minimum inliers to validate a plane")
+    p.add_argument("--numEvents", "--numevents", "--NUMEVENTS",
+                   dest="num_events", type=int, default=None,
+                   help="max number of events to process")
+    p.add_argument("--SERIAL", type=int, default=0,
+                   help="1 = event-serial semantics (chunk size 1); "
+                        "0 = batched processing (default)")
+    p.add_argument("--v", type=int, default=0, help="verbose mode")
+    # TPU-native flags
+    p.add_argument("--chunk-size", type=int, default=4096,
+                   help="events per micro-batch (1 = exact serial semantics)")
+    p.add_argument("--steps-per-scan", type=int, default=8,
+                   help="micro-steps fused per device dispatch")
+    p.add_argument("--window-jump", type=int, default=5,
+                   help="aperture scale stride")
+    p.add_argument("--max-window", type=int, default=50,
+                   help="largest aperture half-window")
+    p.add_argument("--kill-old-flow-us", type=int, default=500,
+                   help="freshness gate for aperture pooling (us)")
+    p.add_argument("--y-clamp-quirk", action="store_true",
+                   help="replicate the reference's y-clamped-by-width bug")
+    p.add_argument("--no-output", action="store_true",
+                   help="skip writing the output txt (benchmarking)")
+    p.add_argument("--devices", type=int, default=0,
+                   help="shard the event batch over this many devices "
+                        "(0 = single device)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    cfg = FlowConfig(
+        width=args.width,
+        height=args.height,
+        filter_size=args.filtersize,
+        min_evts_on_plane=args.inlierCheck,
+        window_jump=args.window_jump,
+        max_window=args.max_window,
+        kill_old_flow_time_us=args.kill_old_flow_us,
+        chunk_size=1 if args.SERIAL == 1 else args.chunk_size,
+        steps_per_scan=args.steps_per_scan,
+        replicate_y_clamp_quirk=args.y_clamp_quirk,
+    )
+
+    print(args.filename + ".txt")
+    print("Reading input file ")
+    ev = load_events_txt(args.filename, args.num_events)
+    print(f"Done reading {len(ev)} Events.")
+    if len(ev) == 0:
+        print("Unable to open file")  # vFlow.cpp:802
+        return 1
+    print(f"First time = {int(ev.t[0])}")
+    print("Processing events ")
+
+    if args.devices > 1:
+        from farms_tpu.parallel.dp import ShardedFlowEngine
+        engine = ShardedFlowEngine(cfg, num_devices=args.devices)
+    else:
+        from farms_tpu.pipeline.engine import FlowEngine
+        engine = FlowEngine(cfg)
+
+    t_start = time.perf_counter()
+    out = engine.process(ev)
+    duration_us = int((time.perf_counter() - t_start) * 1e6)
+
+    print()
+    print("Done processing!")
+    if not args.no_output:
+        print()
+        print("Writing output file.")
+        write_flow_txt(out, args.filename)
+
+    duration_sec = duration_us / 1e6
+    n = len(ev)
+    rate = (n - 1) / duration_sec if duration_sec > 0 else float("inf")
+    # benchmark line format follows main.cpp:201
+    print(
+        f"[Benchmark Main] : Processing time   : {duration_us} usec "
+        f"{duration_sec} sec  with rate of : {rate} events/sec"
+    )
+    if args.v:
+        valid = np.asarray(out.r_local) > 0
+        print(f"[debug Main] : valid flow fraction {valid.mean():.3f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

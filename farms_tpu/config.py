@@ -56,6 +56,13 @@ class FlowConfig:
     chunk_size: int = 2048        # events per micro-step (static shape)
     steps_per_scan: int = 8       # micro-steps fused into one lax.scan/jit call
 
+    # --- compute path selection ---
+    # dense=True (default): per-pixel stencil formulation (ops/dense_flow.py)
+    # - the TPU fast path; per-event random access is limited to the initial
+    # scatter and a one-hot-matmul result gather. dense=False: per-event
+    # gather formulation (ops/local_flow.py) - simpler, used as a reference.
+    use_dense: bool = True
+
     # --- quirk toggles (reference defects catalogued in SURVEY.md SS2) ---
     # The reference clamps the aperture window's y-range with `width`
     # instead of `height` (vFlow.cpp:998-1000, 1111-1113). Harmless for

@@ -1,0 +1,260 @@
+"""Dense (per-pixel) formulation of the flow pipeline - the TPU fast path.
+
+Rationale: per-event gathers/scatters serialize on TPU (~0.3 us per random
+access), capping the per-event formulation (ops/local_flow.py) at ~1 M
+events/s. This module recomputes the reference's per-event quantities as
+*dense stencil maps* over the whole sensor: all shifts are static slices of
+padded arrays (pure VPU work, cost independent of the event count), and the
+only per-event operations left are the initial scatter and a one-hot-matmul
+result gather that runs on the MXU.
+
+Semantics match ops/local_flow.py exactly for batch "winner" events (the
+last event at each pixel within a micro-batch): the per-pixel center time is
+the winner's stamp, the causal pre/post surface view is reproduced with
+shifted `where`s, and every reference rule (candidate scan order, mod-2^32
+future penalty, det>=1, inlier gate with Y>0, atan2(a,b) convention,
+vx!=0 validity gate) is identical. Non-winner events (earlier co-batch
+events at a pixel that fires again within the same micro-batch) inherit the
+winner's result - part of the bounded chunking approximation, exact at
+chunk_size=1.
+
+Reference: computeLocalFlow vFlow.cpp:841-949, computeGrads
+vFlow.cpp:1214-1381, computeTrueFlow vFlow.cpp:952-1210.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from farms_tpu.config import FlowConfig
+
+_WRAP = jnp.float32(2.0 ** 32)
+_HALF_WRAP = jnp.float32(2.0 ** 31)
+
+
+def _shifted(arr, ox, oy, fill):
+    """arr[p + (ox, oy)] with out-of-bounds cells = fill. Static slices."""
+    W, H = arr.shape
+    pw_lo, pw_hi = max(0, -ox), max(0, ox)
+    ph_lo, ph_hi = max(0, -oy), max(0, oy)
+    padded = jnp.pad(arr, ((pw_lo, pw_hi), (ph_lo, ph_hi)),
+                     constant_values=fill)
+    x0 = pw_lo + ox
+    y0 = ph_lo + oy
+    return padded[x0:x0 + W, y0:y0 + H]
+
+
+def dense_local_flow(t_pre, touched_pre, t_post, touched_post,
+                     cfg: FlowConfig):
+    """Local plane-fit flow for every pixel, against its causal surface view.
+
+    The per-pixel "event" is the most recent write at that pixel
+    (t_post[p]); results are meaningful at pixels written this micro-batch
+    and are gathered per event by the engine.
+
+    Returns per-pixel maps (raw_vx, raw_vy, gate_valid, length, theta).
+    """
+    W, H = cfg.width, cfg.height
+    k = cfg.filter_size
+    f = cfg.f_rad
+    R = cfg.support_radius
+    n_cells = k * k
+
+    t_c = t_post                     # center stamps, int32 us
+    px = jax.lax.broadcasted_iota(jnp.int32, (W, H), 0)
+    py = jax.lax.broadcasted_iota(jnp.int32, (W, H), 1)
+
+    # ---- per-offset causal views over the support (2R+1)^2 ----
+    offs = range(-R, R + 1)
+    D = {}      # penalized us differences t_c - visible(p+o), f32
+    ELI = {}    # inlier eligibility: stored stamp != 0 and not wrapped
+    U = {}      # A-matrix x coordinate relative to center
+    V = {}
+    YV = {}     # Y' = (visible - t_c) seconds with -MAXSTAMP wrap
+    for ox in offs:
+        for oy in offs:
+            if ox == 0 and oy == 0:
+                vis = t_c
+                tch = jnp.ones((W, H), dtype=jnp.bool_)
+            else:
+                tp = _shifted(t_post, ox, oy, 0)
+                tq = _shifted(t_pre, ox, oy, 0)
+                cp = _shifted(touched_post, ox, oy, False)
+                cq = _shifted(touched_pre, ox, oy, False)
+                causal = tp <= t_c   # neighbor's latest write not in p's future
+                vis = jnp.where(causal, tp, tq)
+                tch = jnp.where(causal, cp, cq)
+            d = (t_c - vis).astype(jnp.float32)
+            d = jnp.where(d < 0, d + _WRAP, d)
+            D[(ox, oy)] = d
+            ELI[(ox, oy)] = (vis != 0) & (d < _HALF_WRAP)
+            # untouched cells contribute the Event(0,0,0,0) initializer's
+            # coordinates (vFlow.cpp:80-93): u = 0 - px
+            U[(ox, oy)] = jnp.where(tch, jnp.float32(ox), -px.astype(jnp.float32))
+            V[(ox, oy)] = jnp.where(tch, jnp.float32(oy), -py.astype(jnp.float32))
+            YV[(ox, oy)] = d * jnp.float32(-cfg.ts_to_sec)
+
+    # ---- 9 candidates: score + full plane fit each, then select ----
+    cand_offsets = [(a, b) for a in (-f, 0, f) for b in (-f, 0, f)]
+    win_cells = [(wx, wy) for wx in range(-f, f + 1) for wy in range(-f, f + 1)]
+
+    scores = []
+    valid_masks = []
+    fits = []  # per candidate: (det_ok, a, b, dtdp, inliers)
+    n = jnp.float32(n_cells)
+    for (a, b) in cand_offsets:
+        cells = [(a + wx, b + wy) for (wx, wy) in win_cells]
+        ssum = sum(D[c] for c in cells)
+        scores.append(ssum / n)
+        # full-window in-bounds requirement (vFlow.cpp:889)
+        ok = ((px + (a - f) >= 0) & (px + (a + f) <= W - 1)
+              & (py + (b - f) >= 0) & (py + (b + f) <= H - 1))
+        valid_masks.append(ok)
+
+        su = sum(U[c] for c in cells)
+        sv = sum(V[c] for c in cells)
+        suu = sum(U[c] * U[c] for c in cells)
+        svv = sum(V[c] * V[c] for c in cells)
+        suv = sum(U[c] * V[c] for c in cells)
+        b0 = sum(U[c] * YV[c] for c in cells)
+        b1 = sum(V[c] * YV[c] for c in cells)
+        b2 = sum(YV[c] for c in cells)
+
+        det = (suu * (svv * n - sv * sv)
+               - suv * (suv * n - sv * su)
+               + su * (suv * sv - svv * su))
+        det_ok = det >= jnp.float32(cfg.det_threshold)   # vFlow.cpp:1323
+        safe = jnp.where(det_ok, det, 1.0)
+        adj00 = svv * n - sv * sv
+        adj01 = su * sv - suv * n
+        adj02 = suv * sv - svv * su
+        adj11 = suu * n - su * su
+        adj12 = su * suv - suu * sv
+        a_coef = (adj00 * b0 + adj01 * b1 + adj02 * b2) / safe
+        b_coef = (adj01 * b0 + adj11 * b1 + adj12 * b2) / safe
+        dtdp = jnp.sqrt(a_coef * a_coef + b_coef * b_coef)
+        half = dtdp * 0.5
+        inl = None
+        for c in cells:
+            t_ok = (jnp.abs(a_coef * U[c] + b_coef * V[c] - YV[c]) < half) & ELI[c]
+            inl = t_ok.astype(jnp.int32) if inl is None else inl + t_ok
+        fits.append((det_ok, a_coef, b_coef, dtdp, inl))
+
+    score_stack = jnp.stack(
+        [jnp.where(vm, s, jnp.inf) for s, vm in zip(scores, valid_masks)], 0)
+    best = jnp.argmin(score_stack, axis=0)         # first min = scan order
+    local_ok = jnp.isfinite(jnp.min(score_stack, axis=0))
+
+    def select(parts, dtype=jnp.float32):
+        out = jnp.zeros((W, H), dtype=dtype)
+        for ci, part in enumerate(parts):
+            out = jnp.where(best == ci, part, out)
+        return out
+
+    det_ok = select([f_[0] for f_ in fits], jnp.bool_)
+    a_coef = select([f_[1] for f_ in fits])
+    b_coef = select([f_[2] for f_ in fits])
+    dtdp = select([f_[3] for f_ in fits])
+    inliers = select([f_[4] for f_ in fits], jnp.int32)
+
+    accept = local_ok & det_ok & (inliers >= cfg.min_evts_on_plane)
+
+    # velocity inversion (vFlow.cpp:1373-1377); trig form kept deliberately
+    # (see ops/local_flow.py for the axis-aligned knife-edge rationale)
+    speed = 1.0 / dtdp
+    angle = jnp.arctan2(a_coef, b_coef)
+    vx_fit = speed * jnp.cos(angle)
+    vy_fit = speed * jnp.sin(angle)
+    raw_vx = jnp.where(accept, vx_fit, 0.0)
+    raw_vy = jnp.where(accept, vy_fit, 0.0)
+
+    gate_valid = (~jnp.isnan(raw_vx) & ~jnp.isnan(raw_vy)
+                  & (raw_vx != 0) & (raw_vy != 0))      # vFlow.cpp:315
+    length = jnp.sqrt(raw_vx * raw_vx + raw_vy * raw_vy)
+    theta = jnp.arctan2(raw_vy, raw_vx)
+    return raw_vx, raw_vy, gate_valid, length, theta
+
+
+def dense_aperture(flow_len, flow_vx, flow_vy, cfg: FlowConfig):
+    """Multi-scale aperture pooling for every pixel via shifted integrals.
+
+    Box sums come from 4 clamped static shifts of the padded integral image
+    per scale (the clamped shifts realize the reference's window clamping,
+    vFlow.cpp:998-1000; the y-by-width quirk is honored via config).
+
+    Returns per-pixel maps (true_vx, true_vy, scale).
+    """
+    W, H = cfg.width, cfg.height
+    gate = (flow_len > 0).astype(jnp.float32)
+    fields = jnp.stack(
+        [gate, flow_len * gate, flow_vx * gate, flow_vy * gate], 0)
+    integ = jnp.pad(jnp.cumsum(jnp.cumsum(fields, axis=1), axis=2),
+                    ((0, 0), (1, 0), (1, 0)))           # [4, W+1, H+1]
+
+    y_hi = (W if cfg.replicate_y_clamp_quirk else H) - 1
+
+    # pre-clamp the integral's y extent to the quirk bound: indices beyond
+    # y_hi + 1 must read column y_hi + 1 (i.e. min(py+s, y_hi) + 1)
+    integ_y = integ[:, :, :min(y_hi + 2, H + 1)]
+
+    def corner(sx, sy):
+        """integ[:, clip(px + sx, 0, W), clip(py + sy, 0, y_clamp)]"""
+        out = []
+        for f_ in range(4):
+            arr = integ_y[f_]
+            L_x, L_y = arr.shape
+            lo_x, lo_y = max(0, -sx), max(0, -sy)
+            hi_x = max(0, W - 1 + sx - (L_x - 1))
+            hi_y = max(0, H - 1 + sy - (L_y - 1))
+            p = jnp.pad(arr, ((lo_x, hi_x), (lo_y, hi_y)), mode="edge")
+            out.append(p[lo_x + sx:lo_x + sx + W, lo_y + sy:lo_y + sy + H])
+        return jnp.stack(out, 0)
+
+    pools = []   # per scale: (mean_vx, mean_vy)
+    mean_lens = []
+    for s in cfg.scales:
+        # corners: x0 = max(0, px-s), x1+1 = min(px+s, W-1)+1
+        a = corner(s + 1, s + 1)
+        b_ = corner(-s, s + 1)
+        c = corner(s + 1, -s)
+        d = corner(-s, -s)
+        box = a - b_ - c + d
+        cnt = box[0]
+        has = cnt > 0.5
+        safe = jnp.where(has, cnt, 1.0)
+        mean_lens.append(jnp.where(has, box[1] / safe, 0.0))
+        pools.append((box[2] / safe, box[3] / safe))
+
+    ml = jnp.stack(mean_lens, 0)                      # [S, W, H]
+    best = jnp.argmax(ml, axis=0)                     # first strict max
+    max_val = jnp.max(ml, axis=0)
+
+    tvx = jnp.zeros((W, H), jnp.float32)
+    tvy = jnp.zeros((W, H), jnp.float32)
+    scale = jnp.zeros((W, H), jnp.int32)
+    for si, s in enumerate(cfg.scales):
+        hit = best == si
+        tvx = jnp.where(hit, pools[si][0], tvx)
+        tvy = jnp.where(hit, pools[si][1], tvy)
+        scale = jnp.where(hit, s, scale)
+
+    pooled = max_val > 0
+    # fallback: center flow, scale 0 (vFlow.cpp:1086-1094)
+    tvx = jnp.where(pooled, tvx, flow_vx)
+    tvy = jnp.where(pooled, tvy, flow_vy)
+    scale = jnp.where(pooled, scale, 0)
+    return tvx, tvy, scale
+
+
+def onehot_gather(maps, x, y, W: int, H: int):
+    """maps: f32 [F, W, H]; returns f32 [F, m] = maps[:, x, y].
+
+    Implemented as two MXU contractions with one-hot matrices - on TPU this
+    is far faster than an m-element random gather, which serializes.
+    """
+    wx = jax.nn.one_hot(x, W, dtype=jnp.float32)      # [m, W]
+    wy = jax.nn.one_hot(y, H, dtype=jnp.float32)      # [m, H]
+    rows = jnp.einsum("mw,fwh->fmh", wx, maps,
+                      preferred_element_type=jnp.float32)
+    return jnp.einsum("fmh,mh->fm", rows, wy,
+                      preferred_element_type=jnp.float32)

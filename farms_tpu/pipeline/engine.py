@@ -7,12 +7,21 @@ pytree, micro-steps are fused with `lax.scan`, and the host driver streams
 chunks to the device carrying the state across calls (which doubles as the
 checkpoint/resume mechanism: the surface pytree *is* the whole state).
 
+Host<->device traffic is packed: one int32 [steps, m, 4] upload per call
+(x, y, t, lane_valid) and one f32 [steps, m, 7] download (the computed
+output columns), so throughput is bounded by bandwidth rather than
+per-array dispatch latency. The device-resident path (`process` with the
+default settings uploads everything first, runs every micro-step, then
+downloads once) mirrors the reference's measurement methodology: its timed
+loop also starts from events already in RAM vectors and appends outputs to
+RAM vectors (vFlow.cpp:214-423), with file I/O outside the timer.
+
 Sequential-semantics note: the reference is strictly event-serial - event i
 sees surfaces updated by all events j < i. A micro-batch instead scatters
-all its events first, then computes all its flows against that surface, so
-events also see co-batch neighbors (including slightly-future ones). The
-approximation error is bounded by the micro-batch's time span and vanishes
-at chunk_size=1, which reproduces the reference bit-for-bit and is what the
+all its events first, then computes all its flows against a causal view of
+that surface (ops/local_flow.py), so residual error comes only from
+aperture-stage co-batch visibility and is bounded by the micro-batch's time
+span; chunk_size=1 reproduces the reference bit-for-bit and is what the
 golden tests compare against the float64 oracle.
 """
 from __future__ import annotations
@@ -26,17 +35,33 @@ import numpy as np
 from farms_tpu.config import FlowConfig
 from farms_tpu.events.io import EventBatch, FlowOutput
 from farms_tpu.ops.aperture import aperture_batch, build_integral
+from farms_tpu.ops.dense_flow import (
+    dense_aperture,
+    dense_local_flow,
+    onehot_gather,
+)
 from farms_tpu.ops.local_flow import local_flow_batch
 from farms_tpu.state.surfaces import SurfaceState, init_state, kill_stale_flow
+
+N_OUT_COLS = 7  # r_true, theta_true, vx, vy, r_local, theta_local, scale
 
 
 def micro_step(state: SurfaceState, batch, cfg: FlowConfig):
     """Process one micro-batch of events against the carried surfaces.
 
-    `batch` is (x, y, t, lane_valid) with static length m. Returns the
-    updated state and the per-event output columns.
+    `batch` is either an int32 [m, 4] packed array with columns
+    (x, y, t, lane_valid) or an (x, y, t, lane_valid) tuple. Returns the
+    updated state and an f32 [m, 7] packed output block.
     """
-    x, y, t, lane_valid = batch
+    if isinstance(batch, (tuple, list)):
+        x, y, t, lane_valid = batch
+        lane_valid = lane_valid.astype(jnp.bool_)
+    else:
+        # packed int32 [4, m]: the component axis is major so each row is a
+        # well-tiled [m] vector (a minor axis of 4 would be padded to 128
+        # lanes on TPU - a 32x memory blowup)
+        x, y, t = batch[0], batch[1], batch[2]
+        lane_valid = batch[3].astype(jnp.bool_)
     W, H = cfg.width, cfg.height
     m = x.shape[0]
     idx = jnp.arange(m, dtype=jnp.int32)
@@ -54,9 +79,48 @@ def micro_step(state: SurfaceState, batch, cfg: FlowConfig):
     # (reference semantics: later events overwrite, vFlow.cpp:264-273)
     slot = jnp.full((W, H), -1, dtype=jnp.int32)
     slot = slot.at[sx, y].max(idx, mode="drop")
-    is_winner = (slot[jnp.clip(x, 0, W - 1), y] == idx) & lane_valid
 
-    # ---- local plane-fit flow (causal view over pre/post surfaces) ----
+    if cfg.use_dense:
+        # ---- dense per-pixel path (ops/dense_flow.py) ----
+        vx_map, vy_map, gate_map, len_map, theta_map = dense_local_flow(
+            state.t_surf, state.touched, t_surf, touched, cfg)
+
+        # flow-surface writes for every pixel written this batch
+        # (vFlow.cpp:349-356 valid / 398-402 invalid)
+        written = slot >= 0
+        flow_len = jnp.where(
+            written, jnp.where(gate_map, len_map, 0.0), state.flow_len)
+        flow_vx = jnp.where(
+            written, jnp.where(gate_map, vx_map, 0.0), state.flow_vx)
+        flow_vy = jnp.where(
+            written, jnp.where(gate_map, vy_map, 0.0), state.flow_vy)
+
+        tvx_map, tvy_map, scale_map = dense_aperture(
+            flow_len, flow_vx, flow_vy, cfg)
+
+        r_true_map = jnp.sqrt(tvx_map * tvx_map + tvy_map * tvy_map)
+        theta_true_map = jnp.arctan2(tvy_map, tvx_map)
+        out_maps = jnp.stack(
+            [
+                jnp.where(gate_map, r_true_map, 0.0),
+                jnp.where(gate_map, theta_true_map, 0.0),
+                vx_map,
+                vy_map,
+                jnp.where(gate_map, len_map, 0.0),
+                jnp.where(gate_map, theta_map, 0.0),
+                jnp.where(gate_map, scale_map, 0).astype(jnp.float32),
+            ],
+            axis=0,
+        )
+        # non-finite values only arise with min_evts_on_plane <= 0
+        # (dtdp == 0 planes); they would poison the one-hot matmul gather
+        out_maps = jnp.nan_to_num(out_maps, nan=0.0, posinf=0.0, neginf=0.0)
+        out = onehot_gather(out_maps, x, y, W, H)            # [7, m]
+        new_state = SurfaceState(t_surf, touched, flow_len, flow_vx, flow_vy)
+        return new_state, out
+
+    # ---- per-event reference path ----
+    is_winner = (slot[x, y] == idx) & lane_valid
     raw_vx, raw_vy, gate_valid, length, theta = local_flow_batch(
         state.t_surf, state.touched, t_surf, touched, x, y, t, cfg
     )
@@ -73,30 +137,34 @@ def micro_step(state: SurfaceState, batch, cfg: FlowConfig):
     # ---- multi-scale aperture correction ----
     integral = build_integral(flow_len, flow_vx, flow_vy)
     true_vx, true_vy, scale = aperture_batch(
-        integral, flow_vx, flow_vy, jnp.clip(x, 0, W - 1), y, cfg
+        integral, flow_vx, flow_vy, x, y, cfg
     )
 
     # ---- output columns (vFlow.cpp:370-396) ----
-    r_true = jnp.where(gate_valid, jnp.sqrt(true_vx**2 + true_vy**2), 0.0)
-    theta_true = jnp.where(gate_valid, jnp.arctan2(true_vy, true_vx), 0.0)
-    outputs = (
-        jnp.where(gate_valid, r_true, 0.0),
-        theta_true,
-        raw_vx,
-        raw_vy,
-        jnp.where(gate_valid, length, 0.0),
-        jnp.where(gate_valid, theta, 0.0),
-        jnp.where(gate_valid, scale, 0),
+    r_true = jnp.sqrt(true_vx * true_vx + true_vy * true_vy)
+    theta_true = jnp.arctan2(true_vy, true_vx)
+    # packed [7, m]: component axis major (see input packing note)
+    out = jnp.stack(
+        [
+            jnp.where(gate_valid, r_true, 0.0),
+            jnp.where(gate_valid, theta_true, 0.0),
+            raw_vx,
+            raw_vy,
+            jnp.where(gate_valid, length, 0.0),
+            jnp.where(gate_valid, theta, 0.0),
+            jnp.where(gate_valid, scale, 0).astype(jnp.float32),
+        ],
+        axis=0,
     )
     new_state = SurfaceState(t_surf, touched, flow_len, flow_vx, flow_vy)
-    return new_state, outputs
+    return new_state, out
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
 def scan_chunk(state: SurfaceState, chunk, cfg: FlowConfig):
     """Run several micro-steps under one jit via lax.scan.
 
-    `chunk` arrays are shaped [n_steps, m(, ...)].
+    `chunk` is int32 [n_steps, 4, m]; output is f32 [n_steps, 7, m].
     """
     def body(st, batch):
         return micro_step(st, batch, cfg)
@@ -116,66 +184,104 @@ class FlowEngine:
         self.state = init_state(self.cfg)
         self._t0 = None
 
-    def process(self, ev: EventBatch) -> FlowOutput:
-        """Process an event stream (or a continuation of one).
+    def _dispatch(self, chunk):
+        """Run one scan call; subclasses override to add shardings."""
+        return scan_chunk(self.state, chunk, self.cfg)
 
-        The first call latches t0 = first stamp (vFlow.cpp:194, 241);
-        subsequent calls continue the same normalized timeline, so a long
-        recording can be streamed through repeated calls.
+    # ---- host-side packing -------------------------------------------------
+    def pack(self, ev: EventBatch, steps_per_call: int | None = None):
+        """Normalize, pad, and pack an event stream for the device.
+
+        Returns (packed int32 [n_calls, steps, 4, m] host array, n) where n
+        is the real event count. The first call latches t0 = first stamp
+        (vFlow.cpp:194, 241); later calls continue the same timeline.
         """
         cfg = self.cfg
         n = len(ev)
-        if n == 0:
-            return _empty_output()
-        if self._t0 is None:
+        if self._t0 is None and n:
             self._t0 = np.uint32(ev.t[0])
 
         x = np.clip(ev.x.astype(np.int32), 0, cfg.width - 1)
         y = np.clip(ev.y.astype(np.int32), 0, cfg.height - 1)
-        t = (ev.t.astype(np.uint32) - self._t0).astype(np.uint32)
-        t_i32 = t.view(np.int32)
+        t = (ev.t.astype(np.uint32) - (self._t0 or np.uint32(0))).view(np.int32)
 
         m = cfg.chunk_size
-        spc = cfg.steps_per_scan
+        spc = steps_per_call or cfg.steps_per_scan
         per_call = m * spc
-        n_calls = -(-n // per_call)
+        n_calls = max(1, -(-n // per_call))
         pad_total = n_calls * per_call - n
 
-        xp = np.pad(x, (0, pad_total))
-        yp = np.pad(y, (0, pad_total))
-        tp = np.pad(t_i32, (0, pad_total), mode="edge")
-        lv = np.pad(np.ones(n, dtype=bool), (0, pad_total))
+        packed = np.empty((4, n_calls * per_call), dtype=np.int32)
+        packed[0, :n] = x
+        packed[1, :n] = y
+        packed[2, :n] = t
+        packed[3, :n] = 1
+        if pad_total:
+            packed[0, n:] = 0
+            packed[1, n:] = 0
+            packed[2, n:] = t[-1] if n else 0
+            packed[3, n:] = 0
+        packed = packed.reshape(4, n_calls, spc, m).transpose(1, 2, 0, 3)
+        return np.ascontiguousarray(packed), n
 
-        outs = []
-        for c in range(n_calls):
-            sl = slice(c * per_call, (c + 1) * per_call)
-            chunk = (
-                jnp.asarray(xp[sl].reshape(spc, m)),
-                jnp.asarray(yp[sl].reshape(spc, m)),
-                jnp.asarray(tp[sl].reshape(spc, m)),
-                jnp.asarray(lv[sl].reshape(spc, m)),
-            )
-            self.state, out = scan_chunk(self.state, chunk, cfg)
-            outs.append(out)
-
-        cols = [
-            np.concatenate([np.asarray(o[i]).reshape(-1) for o in outs])[:n]
-            for i in range(7)
-        ]
-        r_true, theta_true, vx, vy, r_local, theta_local, scale = cols
+    def _unpack_outputs(self, out_blocks, ev: EventBatch, n: int) -> FlowOutput:
+        # blocks are [steps, 7, m] -> rows of (event, column)
+        cols = np.concatenate(
+            [
+                np.asarray(o).transpose(0, 2, 1).reshape(-1, N_OUT_COLS)
+                for o in out_blocks
+            ]
+        )[:n]
+        t = (ev.t.astype(np.uint32) - self._t0).astype(np.uint32)
         return FlowOutput(
             x=ev.x.astype(np.int32),
             y=ev.y.astype(np.int32),
             t=t,
             pol=ev.pol.astype(np.int32),
-            r_true=r_true.astype(np.float64),
-            theta_true=theta_true.astype(np.float64),
-            vx=vx.astype(np.float64),
-            vy=vy.astype(np.float64),
-            r_local=r_local.astype(np.float64),
-            theta_local=theta_local.astype(np.float64),
-            scale=scale.astype(np.int32),
+            r_true=cols[:, 0].astype(np.float64),
+            theta_true=cols[:, 1].astype(np.float64),
+            vx=cols[:, 2].astype(np.float64),
+            vy=cols[:, 3].astype(np.float64),
+            r_local=cols[:, 4].astype(np.float64),
+            theta_local=cols[:, 5].astype(np.float64),
+            scale=cols[:, 6].astype(np.int32),
         )
+
+    # ---- drivers -----------------------------------------------------------
+    def process(self, ev: EventBatch) -> FlowOutput:
+        """Process an event stream (or a continuation of one).
+
+        All calls are dispatched asynchronously; outputs stay on device
+        until every chunk is in flight, so transfers overlap compute.
+        """
+        n = len(ev)
+        if n == 0:
+            return _empty_output()
+        packed, n = self.pack(ev)
+        outs = []
+        for c in range(packed.shape[0]):
+            self.state, out = self._dispatch(jnp.asarray(packed[c]))
+            outs.append(out)
+        return self._unpack_outputs(outs, ev, n)
+
+    def process_resident(self, ev: EventBatch):
+        """Upload the whole stream once and run it as one device program.
+
+        Returns (fn, device_chunk): `fn()` executes every micro-step in a
+        single dispatch and returns the device-resident outputs. Used by the
+        benchmark to time pure processing, matching the reference's timed
+        region (vFlow.cpp:214-423), which also excludes file I/O.
+        """
+        packed, n = self.pack(ev, steps_per_call=max(
+            1, -(-len(ev) // self.cfg.chunk_size)))
+        chunk = jax.device_put(jnp.asarray(packed[0]))
+
+        def fn():
+            new_state, out = self._dispatch(chunk)
+            self.state = new_state
+            return out
+
+        return fn, n
 
 
 def _empty_output() -> FlowOutput:
