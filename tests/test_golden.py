@@ -41,8 +41,10 @@ def bar_oracle(bar_events):
     return run_oracle(bar_events, cfg)
 
 
-def test_serial_mode_matches_oracle(bar_events, bar_oracle):
-    cfg = FlowConfig(width=64, height=64, chunk_size=1, steps_per_scan=32)
+@pytest.mark.parametrize("dense", [False, True])
+def test_serial_mode_matches_oracle(bar_events, bar_oracle, dense):
+    cfg = FlowConfig(width=64, height=64, chunk_size=1, steps_per_scan=32,
+                     use_dense=dense)
     got = FlowEngine(cfg).process(bar_events)
     ref = bar_oracle
 
@@ -58,10 +60,12 @@ def test_serial_mode_matches_oracle(bar_events, bar_oracle):
     assert _angular_err_deg(ref, got, m).max() < 0.01
 
 
-def test_serial_mode_matches_oracle_random_stream():
+@pytest.mark.parametrize("dense", [False, True])
+def test_serial_mode_matches_oracle_random_stream(dense):
     """Stress: random events incl. duplicate pixels, invalid fits, borders."""
     ev = synthetic_random_events(800, width=48, height=48, rate_hz=3e6, seed=9)
-    cfg = FlowConfig(width=48, height=48, chunk_size=1, steps_per_scan=32)
+    cfg = FlowConfig(width=48, height=48, chunk_size=1, steps_per_scan=32,
+                     use_dense=dense)
     ref = run_oracle(ev, cfg)
     got = FlowEngine(cfg).process(ev)
 
@@ -94,9 +98,10 @@ def test_ground_truth_flow_convention(bar_oracle):
 
 
 @pytest.mark.parametrize("chunk_size", [64, 256])
-def test_chunked_mode_within_budget(bar_events, bar_oracle, chunk_size):
+@pytest.mark.parametrize("dense", [False, True])
+def test_chunked_mode_within_budget(bar_events, bar_oracle, chunk_size, dense):
     cfg = FlowConfig(width=64, height=64, chunk_size=chunk_size,
-                     steps_per_scan=4)
+                     steps_per_scan=4, use_dense=dense)
     got = FlowEngine(cfg).process(bar_events)
     ref = bar_oracle
 
