@@ -16,14 +16,36 @@ _LIB = None
 _TRIED = False
 
 
+def _build(native_dir: str) -> None:
+    """Best-effort one-shot build of the shared library via make."""
+    import subprocess
+
+    try:
+        subprocess.run(
+            ["make", "-C", native_dir, "-s"],
+            check=False,
+            timeout=120,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+    except Exception:
+        pass
+
+
 def _lib():
     global _LIB, _TRIED
     if _TRIED:
         return _LIB
     _TRIED = True
     here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    native_dir = os.path.join(here, "native")
+    if (
+        not os.path.exists(os.path.join(native_dir, "libfarmsio.so"))
+        and os.path.exists(os.path.join(native_dir, "fast_io.cpp"))
+    ):
+        _build(native_dir)
     for cand in (
-        os.path.join(here, "native", "libfarmsio.so"),
+        os.path.join(native_dir, "libfarmsio.so"),
         os.path.join(os.path.dirname(__file__), "libfarmsio.so"),
     ):
         if os.path.exists(cand):
