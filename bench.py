@@ -37,9 +37,9 @@ def main():
     except Exception:
         pass
 
-    m = 32768
-    spc = 32
-    n = m * spc  # ~1.05M events, exactly one resident scan call
+    m = int(os.environ.get("FARMS_BENCH_CHUNK", 32768))
+    spc = int(os.environ.get("FARMS_BENCH_STEPS", 8))
+    n = m * spc  # exactly one resident scan call
     cfg = FlowConfig(width=320, height=320, chunk_size=m, use_dense=True)
 
     ev = synthetic_random_events(n, width=320, height=320, rate_hz=5e6,
@@ -53,7 +53,7 @@ def main():
     checksum = float(jnp.sum(out[:, 0, :]))
 
     best = 0.0
-    for _ in range(3):
+    for _ in range(2):
         eng.reset()
         fn, _ = eng.process_resident(ev)
         t0 = time.perf_counter()
