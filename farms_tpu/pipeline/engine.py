@@ -53,15 +53,20 @@ def micro_step(state: SurfaceState, batch, cfg: FlowConfig):
     (x, y, t, lane_valid) or an (x, y, t, lane_valid) tuple. Returns the
     updated state and an f32 [m, 7] packed output block.
     """
+    is_winner = None
     if isinstance(batch, (tuple, list)):
         x, y, t, lane_valid = batch
         lane_valid = lane_valid.astype(jnp.bool_)
     else:
-        # packed int32 [4, m]: the component axis is major so each row is a
-        # well-tiled [m] vector (a minor axis of 4 would be padded to 128
-        # lanes on TPU - a 32x memory blowup)
+        # packed int32 [5, m]: the component axis is major so each row is a
+        # well-tiled [m] vector (a minor axis of 5 would be padded to 128
+        # lanes on TPU - a 25x memory blowup). Channel 4 marks batch
+        # winners (the last event at each pixel), resolved on the host
+        # during packing so every device scatter has unique indices.
         x, y, t = batch[0], batch[1], batch[2]
         lane_valid = batch[3].astype(jnp.bool_)
+        if batch.shape[0] > 4:
+            is_winner = batch[4].astype(jnp.bool_)
     W, H = cfg.width, cfg.height
     m = x.shape[0]
     idx = jnp.arange(m, dtype=jnp.int32)
@@ -70,15 +75,27 @@ def micro_step(state: SurfaceState, batch, cfg: FlowConfig):
     state = kill_stale_flow(state, t[0], cfg)
 
     # ---- scatter events into the time surface ----
-    # invalid lanes are redirected out of bounds and dropped
-    sx = jnp.where(lane_valid, x, W)
-    t_surf = state.t_surf.at[sx, y].max(t, mode="drop")
-    touched = state.touched.at[sx, y].set(True, mode="drop")
-
-    # last-write-wins resolution for duplicate pixels within the batch
-    # (reference semantics: later events overwrite, vFlow.cpp:264-273)
-    slot = jnp.full((W, H), -1, dtype=jnp.int32)
-    slot = slot.at[sx, y].max(idx, mode="drop")
+    # Only batch winners write (non-winners would be overwritten anyway:
+    # last-write-wins, vFlow.cpp:264-273); invalid lanes are redirected out
+    # of bounds and dropped. With host-resolved winners all indices are
+    # unique, which lets XLA skip scatter conflict handling.
+    if is_winner is not None:
+        wsx = jnp.where(is_winner, x, W)
+        t_surf = state.t_surf.at[wsx, y].set(t, mode="drop",
+                                             unique_indices=True)
+        touched = state.touched.at[wsx, y].set(True, mode="drop",
+                                               unique_indices=True)
+        written = jnp.zeros((W, H), jnp.bool_).at[wsx, y].set(
+            True, mode="drop", unique_indices=True)
+    else:
+        # device-side winner resolution (tuple-batch callers)
+        sx = jnp.where(lane_valid, x, W)
+        t_surf = state.t_surf.at[sx, y].max(t, mode="drop")
+        touched = state.touched.at[sx, y].set(True, mode="drop")
+        slot = jnp.full((W, H), -1, dtype=jnp.int32)
+        slot = slot.at[sx, y].max(idx, mode="drop")
+        written = slot >= 0
+        is_winner = (slot[x, y] == idx) & lane_valid
 
     if cfg.use_dense:
         # ---- dense per-pixel path (ops/dense_flow.py) ----
@@ -87,7 +104,6 @@ def micro_step(state: SurfaceState, batch, cfg: FlowConfig):
 
         # flow-surface writes for every pixel written this batch
         # (vFlow.cpp:349-356 valid / 398-402 invalid)
-        written = slot >= 0
         flow_len = jnp.where(
             written, jnp.where(gate_map, len_map, 0.0), state.flow_len)
         flow_vx = jnp.where(
@@ -120,7 +136,6 @@ def micro_step(state: SurfaceState, batch, cfg: FlowConfig):
         return new_state, out
 
     # ---- per-event reference path ----
-    is_winner = (slot[x, y] == idx) & lane_valid
     raw_vx, raw_vy, gate_valid, length, theta = local_flow_batch(
         state.t_surf, state.touched, t_surf, touched, x, y, t, cfg
     )
@@ -211,7 +226,7 @@ class FlowEngine:
         n_calls = max(1, -(-n // per_call))
         pad_total = n_calls * per_call - n
 
-        packed = np.empty((4, n_calls * per_call), dtype=np.int32)
+        packed = np.empty((5, n_calls * per_call), dtype=np.int32)
         packed[0, :n] = x
         packed[1, :n] = y
         packed[2, :n] = t
@@ -221,7 +236,26 @@ class FlowEngine:
             packed[1, n:] = 0
             packed[2, n:] = t[-1] if n else 0
             packed[3, n:] = 0
-        packed = packed.reshape(4, n_calls, spc, m).transpose(1, 2, 0, 3)
+
+        # host-side winner resolution per micro-batch: the last event at
+        # each pixel wins (vFlow.cpp:264-273). NumPy fancy-index assignment
+        # keeps the last write, giving an O(m) resolution; device scatters
+        # then have unique indices.
+        flat = (packed[0] * np.int64(cfg.height) + packed[1]).reshape(-1, m)
+        # padded (invalid) lanes sit at x=y=0; route them to a sentinel
+        # bucket so they cannot steal pixel (0,0) from a real event
+        flat = np.where(packed[3].reshape(-1, m) == 1, flat,
+                        cfg.width * cfg.height)
+        lanes = np.arange(m)
+        seen = np.empty(cfg.width * cfg.height + 1, dtype=np.int64)
+        winner = np.zeros((flat.shape[0], m), dtype=np.int32)
+        for b in range(flat.shape[0]):
+            seen[flat[b]] = lanes
+            winner[b] = seen[flat[b]] == lanes
+        winner = winner.reshape(1, -1) & packed[3:4]
+        packed[4] = winner[0]
+
+        packed = packed.reshape(5, n_calls, spc, m).transpose(1, 2, 0, 3)
         return np.ascontiguousarray(packed), n
 
     def _unpack_outputs(self, out_blocks, ev: EventBatch, n: int) -> FlowOutput:
