@@ -1,0 +1,36 @@
+"""Streaming ingestion equals one-shot processing on aligned boundaries."""
+import numpy as np
+
+from farms_tpu.config import FlowConfig
+from farms_tpu.events.io import synthetic_translating_bar, write_events_txt
+from farms_tpu.events.stream import (
+    iter_file_chunks,
+    process_file_streaming,
+    stream_flow,
+)
+from farms_tpu.pipeline.engine import FlowEngine
+
+
+def test_stream_equals_oneshot(tmp_path):
+    ev = synthetic_translating_bar(width=64, height=64, bar_len=16,
+                                   duration_us=25000, jitter_us=15)[:512]
+    path = write_events_txt(ev, str(tmp_path / "s"))
+    cfg = FlowConfig(width=64, height=64, chunk_size=64, steps_per_scan=2)
+
+    one = FlowEngine(cfg).process(ev)
+    streamed = process_file_streaming(FlowEngine(cfg), path,
+                                      chunk_events=128)
+    assert len(streamed) == len(one)
+    np.testing.assert_allclose(one.r_true, streamed.r_true, rtol=1e-6)
+    np.testing.assert_array_equal(one.scale, streamed.scale)
+    np.testing.assert_array_equal(one.t, streamed.t)
+
+
+def test_iter_file_chunks(tmp_path):
+    ev = synthetic_translating_bar(width=48, height=48, bar_len=10,
+                                   duration_us=10000)[:100]
+    path = write_events_txt(ev, str(tmp_path / "c"))
+    chunks = list(iter_file_chunks(path, 30))
+    assert [len(c) for c in chunks] == [30, 30, 30, 10]
+    np.testing.assert_array_equal(
+        np.concatenate([c.x for c in chunks]), ev.x)
