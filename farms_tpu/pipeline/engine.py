@@ -129,7 +129,7 @@ def micro_step(state: SurfaceState, batch, cfg: FlowConfig):
             axis=0,
         )
         # non-finite values only arise with min_evts_on_plane <= 0
-        # (dtdp == 0 planes); they would poison the one-hot matmul gather
+        # (dtdp == 0 planes); scrub them so outputs stay finite
         out_maps = jnp.nan_to_num(out_maps, nan=0.0, posinf=0.0, neginf=0.0)
         out = onehot_gather(out_maps, x, y, W, H)            # [7, m]
         new_state = SurfaceState(t_surf, touched, flow_len, flow_vx, flow_vy)
