@@ -43,9 +43,9 @@ def main():
     except Exception:
         pass
 
-    m = int(os.environ.get("FARMS_BENCH_CHUNK", 32768))
+    m = int(os.environ.get("FARMS_BENCH_CHUNK", 131072))
     spc = int(os.environ.get("FARMS_BENCH_STEPS", 8))
-    n_calls = int(os.environ.get("FARMS_BENCH_CALLS", 32))
+    n_calls = int(os.environ.get("FARMS_BENCH_CALLS", 16))
     n = m * spc  # events per scan call
     cfg = FlowConfig(width=320, height=320, chunk_size=m, use_dense=True)
 
@@ -58,21 +58,23 @@ def main():
     packed, _ = eng.pack(ev, steps_per_call=spc)
     chunk = jax.device_put(jnp.asarray(packed[0]))
 
-    # warmup / compile
+    # warmup / compile. NOTE: block_until_ready does not reliably wait
+    # through the remote-execution tunnel; a scalar materialization of the
+    # last output (which depends on the whole state chain) is the fence.
     state = init_state(cfg)
     state, out = scan_chunk(state, chunk, cfg)
-    jax.block_until_ready(out)
+    checksum = float(jnp.sum(out[:, 0, :]))
 
     best = 0.0
     for _ in range(2):
         state = init_state(cfg)
-        jax.block_until_ready(state)
+        checksum = float(jnp.sum(state.t_surf))
         outs = []
         t0 = time.perf_counter()
         for _ in range(n_calls):
             state, out = scan_chunk(state, chunk, cfg)
             outs.append(out)
-        jax.block_until_ready(outs)
+        checksum = float(jnp.sum(outs[-1][:, 0, :]))
         dt = time.perf_counter() - t0
         best = max(best, n_calls * n / dt)
 

@@ -59,9 +59,15 @@ class FlowConfig:
     # --- compute path selection ---
     # dense=True (default): per-pixel stencil formulation (ops/dense_flow.py)
     # - the TPU fast path; per-event random access is limited to the initial
-    # scatter and a one-hot-matmul result gather. dense=False: per-event
+    # scatter and a flat result gather. dense=False: per-event
     # gather formulation (ops/local_flow.py) - simpler, used as a reference.
     use_dense: bool = True
+
+    # Fused Pallas kernels for the dense path's two hot stages
+    # (ops/pallas/kernels.py). None = auto: use them whenever the sensor
+    # fits the kernels' single-block VMEM budget. False forces the XLA
+    # dense formulation; True forces Pallas (errors if unsupported).
+    use_pallas: bool | None = None
 
     # --- quirk toggles (reference defects catalogued in SURVEY.md SS2) ---
     # The reference clamps the aperture window's y-range with `width`

@@ -41,6 +41,7 @@ from farms_tpu.ops.dense_flow import (
     onehot_gather,
 )
 from farms_tpu.ops.local_flow import local_flow_batch
+from farms_tpu.ops.pallas import kernels as pallas_kernels
 from farms_tpu.state.surfaces import SurfaceState, init_state, kill_stale_flow
 
 N_OUT_COLS = 7  # r_true, theta_true, vx, vy, r_local, theta_local, scale
@@ -98,9 +99,23 @@ def micro_step(state: SurfaceState, batch, cfg: FlowConfig):
         is_winner = (slot[x, y] == idx) & lane_valid
 
     if cfg.use_dense:
-        # ---- dense per-pixel path (ops/dense_flow.py) ----
-        vx_map, vy_map, gate_map, len_map, theta_map = dense_local_flow(
-            state.t_surf, state.touched, t_surf, touched, cfg)
+        # ---- dense per-pixel path (ops/dense_flow.py), with the two hot
+        # stages optionally fused into Pallas kernels ----
+        if cfg.use_pallas is None:
+            # auto: real TPU only - on CPU the kernels would run in the
+            # (slow) interpreter, so tests opt in explicitly instead
+            on_tpu = jax.default_backend() == "tpu"
+            pk_local = on_tpu and pallas_kernels.local_flow_supported(cfg)
+            pk_apert = on_tpu and pallas_kernels.aperture_supported(cfg)
+        else:
+            pk_local = pk_apert = cfg.use_pallas
+        if pk_local:
+            vx_map, vy_map, gate_map, len_map, theta_map = (
+                pallas_kernels.local_flow_pallas(
+                    state.t_surf, state.touched, t_surf, touched, cfg))
+        else:
+            vx_map, vy_map, gate_map, len_map, theta_map = dense_local_flow(
+                state.t_surf, state.touched, t_surf, touched, cfg)
 
         # flow-surface writes for every pixel written this batch
         # (vFlow.cpp:349-356 valid / 398-402 invalid)
@@ -111,8 +126,12 @@ def micro_step(state: SurfaceState, batch, cfg: FlowConfig):
         flow_vy = jnp.where(
             written, jnp.where(gate_map, vy_map, 0.0), state.flow_vy)
 
-        tvx_map, tvy_map, scale_map = dense_aperture(
-            flow_len, flow_vx, flow_vy, cfg)
+        if pk_apert:
+            tvx_map, tvy_map, scale_map = pallas_kernels.aperture_pallas(
+                flow_len, flow_vx, flow_vy, cfg)
+        else:
+            tvx_map, tvy_map, scale_map = dense_aperture(
+                flow_len, flow_vx, flow_vy, cfg)
 
         r_true_map = jnp.sqrt(tvx_map * tvx_map + tvy_map * tvy_map)
         theta_true_map = jnp.arctan2(tvy_map, tvx_map)

@@ -1,0 +1,111 @@
+"""Pallas kernels vs the XLA dense formulation (interpreter mode on CPU).
+
+The kernels (ops/pallas/kernels.py) implement the exact same math as
+ops/dense_flow.py - the local plane fit agrees up to FMA-reordering; the
+aperture stage computes its integral image with MXU matmuls instead of
+cumsum, so box sums round differently and near-tie scale winners may flip
+on a tiny fraction of pixels.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from farms_tpu.config import FlowConfig
+from farms_tpu.ops.dense_flow import dense_aperture, dense_local_flow
+from farms_tpu.ops.pallas import kernels as pk
+from farms_tpu.pipeline.engine import micro_step
+from farms_tpu.state.surfaces import init_state
+
+
+CFG = FlowConfig(width=48, height=40, chunk_size=64)
+
+
+def _surfaces(seed=0):
+    rng = np.random.default_rng(seed)
+    W, H = CFG.width, CFG.height
+    t_pre = jnp.asarray(rng.integers(1, 5_000_000, (W, H)), jnp.int32)
+    t_post = t_pre.at[10:30, 5:25].add(1000)
+    touched_pre = jnp.asarray(rng.random((W, H)) < 0.8)
+    touched_post = touched_pre | (t_post != t_pre)
+    return t_pre, touched_pre, t_post, touched_post
+
+
+def _assert_mostly_equal(ref, out, what, frac=0.01):
+    """Same math, different fusion: XLA may contract FMAs differently
+    between the two paths, so allow tiny fp drift (and the knife-edge
+    accept flips it can cause) on a small fraction of pixels."""
+    for name, r, o in zip(["vx", "vy", "gate", "len", "theta"], ref, out):
+        r = np.asarray(r, np.float64)
+        o = np.asarray(o, np.float64)
+        bad = (~np.isclose(r, o, rtol=1e-4, atol=1e-5)).sum()
+        assert bad <= frac * r.size, f"{what} {name}: {bad}/{r.size}"
+
+
+def test_local_flow_matches_dense():
+    args = _surfaces()
+    ref = dense_local_flow(*args, CFG)
+    out = pk.local_flow_pallas(*args, CFG)
+    _assert_mostly_equal(ref, out, "local")
+
+
+def test_local_flow_wraparound_and_untouched():
+    """Future stamps (mod-2^32 wrap) and untouched-cell coordinates."""
+    rng = np.random.default_rng(1)
+    W, H = CFG.width, CFG.height
+    # mix small and huge stamps so some neighbors appear "in the future"
+    t_pre = jnp.asarray(
+        rng.choice([100, 5000, 2**31 + 7, 2**32 - 3], size=(W, H)),
+        jnp.uint32).view(jnp.int32).reshape(W, H)
+    t_post = t_pre
+    touched = jnp.asarray(rng.random((W, H)) < 0.5)
+    ref = dense_local_flow(t_pre, touched, t_post, touched, CFG)
+    out = pk.local_flow_pallas(t_pre, touched, t_post, touched, CFG)
+    _assert_mostly_equal(ref, out, "wrap")
+
+
+@pytest.mark.parametrize("quirk", [False, True])
+def test_aperture_matches_dense(quirk):
+    cfg = FlowConfig(width=48, height=40, chunk_size=64,
+                     replicate_y_clamp_quirk=quirk)
+    rng = np.random.default_rng(2)
+    W, H = cfg.width, cfg.height
+    mask = rng.random((W, H)) < 0.3
+    fl = jnp.asarray(rng.random((W, H)) * mask, jnp.float32)
+    fvx = jnp.asarray(rng.standard_normal((W, H)), jnp.float32) * (fl > 0)
+    fvy = jnp.asarray(rng.standard_normal((W, H)), jnp.float32) * (fl > 0)
+    ref = dense_aperture(fl, fvx, fvy, cfg)
+    out = pk.aperture_pallas(fl, fvx, fvy, cfg)
+    total = W * H
+    for name, r, o in zip(["tvx", "tvy", "scale"], ref, out):
+        r = np.asarray(r, np.float64)
+        o = np.asarray(o, np.float64)
+        mismatch = (~np.isclose(r, o, rtol=1e-3, atol=1e-3)).sum()
+        # integral-image rounding may flip near-tie scale winners on a
+        # tiny fraction of pixels
+        assert mismatch <= 0.005 * total, f"{name}: {mismatch}/{total}"
+
+
+def test_micro_step_pallas_vs_dense():
+    """Full micro-step agreement between the XLA and Pallas dense paths."""
+    rng = np.random.default_rng(3)
+    m = 64
+    cfg_x = FlowConfig(width=48, height=40, chunk_size=m, use_pallas=False)
+    cfg_p = FlowConfig(width=48, height=40, chunk_size=m, use_pallas=True)
+    x = rng.integers(0, cfg_x.width, m)
+    y = rng.integers(0, cfg_x.height, m)
+    t = np.sort(rng.integers(1, 100_000, m)).astype(np.int64)
+    batch = np.stack([x, y, t, np.ones(m), np.zeros(m)], 0).astype(np.int32)
+    # host winner resolution: last event per pixel
+    seen = {}
+    for i in range(m):
+        seen[(x[i], y[i])] = i
+    batch[4] = [1 if seen[(x[i], y[i])] == i else 0 for i in range(m)]
+    st_x = init_state(cfg_x)
+    st_p = init_state(cfg_p)
+    for _ in range(2):  # two steps: second sees non-trivial carried state
+        st_x, out_x = micro_step(st_x, jnp.asarray(batch), cfg_x)
+        st_p, out_p = micro_step(st_p, jnp.asarray(batch), cfg_p)
+    out_x = np.asarray(out_x)
+    out_p = np.asarray(out_p)
+    close = np.isclose(out_x, out_p, rtol=1e-3, atol=1e-3)
+    assert close.mean() > 0.99, f"micro_step mismatch: {(~close).sum()}"
