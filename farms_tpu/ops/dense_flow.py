@@ -44,10 +44,11 @@ def _shifted(arr, ox, oy, fill):
     return padded[x0:x0 + W, y0:y0 + H]
 
 
-def dense_local_flow(t_pre, touched_pre, t_post, touched_post,
-                     cfg: FlowConfig):
+def dense_local_flow(t_pre, t_post, cfg: FlowConfig):
     """Local plane-fit flow for every pixel, against its causal surface view.
 
+    `t_pre`/`t_post` are stamp1-encoded surfaces (stamp + 1, 0 = never
+    written; see state/surfaces.py) before/after the micro-batch scatter.
     The per-pixel "event" is the most recent write at that pixel
     (t_post[p]); results are meaningful at pixels written this micro-batch
     and are gathered per event by the engine.
@@ -60,14 +61,14 @@ def dense_local_flow(t_pre, touched_pre, t_post, touched_post,
     R = cfg.support_radius
     n_cells = k * k
 
-    t_c = t_post                     # center stamps, int32 us
+    t_c = t_post                     # center stamp1, int32 us
     px = jax.lax.broadcasted_iota(jnp.int32, (W, H), 0)
     py = jax.lax.broadcasted_iota(jnp.int32, (W, H), 1)
 
     # ---- per-offset causal views over the support (2R+1)^2 ----
     offs = range(-R, R + 1)
     D = {}      # penalized us differences t_c - visible(p+o), f32
-    ELI = {}    # inlier eligibility: stored stamp != 0 and not wrapped
+    ELI = {}    # inlier eligibility: stored stamp > 0 and not wrapped
     U = {}      # A-matrix x coordinate relative to center
     V = {}
     YV = {}     # Y' = (visible - t_c) seconds with -MAXSTAMP wrap
@@ -79,15 +80,17 @@ def dense_local_flow(t_pre, touched_pre, t_post, touched_post,
             else:
                 tp = _shifted(t_post, ox, oy, 0)
                 tq = _shifted(t_pre, ox, oy, 0)
-                cp = _shifted(touched_post, ox, oy, False)
-                cq = _shifted(touched_pre, ox, oy, False)
                 causal = tp <= t_c   # neighbor's latest write not in p's future
                 vis = jnp.where(causal, tp, tq)
-                tch = jnp.where(causal, cp, cq)
+                tch = vis != 0       # stamp1: 0 <=> never written
+                # untouched cells hold the t=0 initializer (raw stamp 0 =
+                # stamp1 value 1), so clamp before differencing
+                vis = jnp.maximum(vis, 1)
             d = (t_c - vis).astype(jnp.float32)
             d = jnp.where(d < 0, d + _WRAP, d)
             D[(ox, oy)] = d
-            ELI[(ox, oy)] = (vis != 0) & (d < _HALF_WRAP)
+            # reference inlier rule Y > 0 <=> raw stamp > 0 <=> stamp1 > 1
+            ELI[(ox, oy)] = (vis > 1) & (d < _HALF_WRAP)
             # untouched cells contribute the Event(0,0,0,0) initializer's
             # coordinates (vFlow.cpp:80-93): u = 0 - px
             U[(ox, oy)] = jnp.where(tch, jnp.float32(ox), -px.astype(jnp.float32))

@@ -35,13 +35,11 @@ from farms_tpu.config import FlowConfig
 
 
 def local_flow_batch(
-    t_pre: jax.Array,     # int32 [W, H] stamps before this micro-batch
-    touched_pre: jax.Array,
-    t_post: jax.Array,    # int32 [W, H] stamps after scattering the batch
-    touched_post: jax.Array,
+    t_pre: jax.Array,     # int32 [W, H] stamp1 surface before this batch
+    t_post: jax.Array,    # int32 [W, H] stamp1 surface after the scatter
     x: jax.Array,         # int32 [m]
     y: jax.Array,         # int32 [m]
-    t_ev: jax.Array,      # int32 [m] event stamps (us, normalized)
+    t_ev: jax.Array,      # int32 [m] stamp1 event stamps (us + 1)
     cfg: FlowConfig,
 ):
     """Compute local flow for a micro-batch of events.
@@ -79,9 +77,11 @@ def local_flow_batch(
     own = (cgx == x[:, None, None]) & (cgy == y[:, None, None])
     t_patch = jnp.where(causal, post_t, t_pre[cgx, cgy])
     t_patch = jnp.where(own, t_ev[:, None, None], t_patch)
-    touched_patch = jnp.where(
-        causal, touched_post[cgx, cgy], touched_pre[cgx, cgy]
-    ) | own
+    # stamp1 encoding: 0 <=> never written (state/surfaces.py)
+    touched_patch = (t_patch != 0) | own
+    # untouched cells hold the t=0 initializer (= stamp1 value 1), so clamp
+    # before differencing; eligibility (stamp1 > 1) is unaffected
+    t_patch = jnp.maximum(t_patch, 1)
 
     # us difference modulo 2^32, exactly as the reference computes it:
     # signed int32 subtraction is exact, and stamps from the "future"
@@ -135,7 +135,8 @@ def local_flow_batch(
         return jnp.einsum("mc,mcij->mij", onehot, stack_f32)
 
     d_win = pick(d_stack)
-    t_win_nonzero = pick((t_stack != 0).astype(jnp.float32)) > 0.5
+    # reference inlier rule Y > 0 <=> raw stamp > 0 <=> stamp1 > 1
+    t_win_positive = pick((t_stack > 1).astype(jnp.float32)) > 0.5
     tchd_win = pick(tchd_stack.astype(jnp.float32)) > 0.5
 
     # absolute coordinates of the winning window's cells (clamped like the
@@ -199,7 +200,7 @@ def local_flow_batch(
     # wrapped/future stamps are excluded).
     plane_dt = a_coef[:, None, None] * u + b_coef[:, None, None] * v
     # Y > 0 iff stored stamp positive and not wrap-corrected (d in [0, 2^31))
-    eligible = t_win_nonzero & (d_win < jnp.float32(2.0**31))
+    eligible = t_win_positive & (d_win < jnp.float32(2.0**31))
     inlier = (jnp.abs(plane_dt - yv) < (dtdp / 2)[:, None, None]) & eligible
     inliers = jnp.sum(inlier, axis=(1, 2))
 

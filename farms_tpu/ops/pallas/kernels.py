@@ -76,7 +76,7 @@ def aperture_supported(cfg: FlowConfig) -> bool:
 # local plane-fit flow
 # --------------------------------------------------------------------------
 
-def _local_flow_kernel(tq_ref, cq_ref, tp_ref, cp_ref,
+def _local_flow_kernel(tq_ref, tp_ref,
                        acc_ref, a_ref, b_ref, dtdp_ref,
                        *, cfg: FlowConfig, tr: int):
     """One program computes a `tr`-row band of the sensor.
@@ -99,9 +99,7 @@ def _local_flow_kernel(tq_ref, cq_ref, tp_ref, cp_ref,
     # starts to be 8-aligned, which row0 + R + ox is not)
     bh = tr + _rup8(2 * R)
     band_q = tq_ref[pl.ds(row0, bh), :]
-    band_cq = cq_ref[pl.ds(row0, bh), :]
     band_p = tp_ref[pl.ds(row0, bh), :]
-    band_cp = cp_ref[pl.ds(row0, bh), :]
 
     t_c = band_p[R:R + tr, R:R + H]                    # i32 center stamps
     px = jax.lax.broadcasted_iota(jnp.int32, (tr, H), 0) + row0
@@ -118,19 +116,20 @@ def _local_flow_kernel(tq_ref, cq_ref, tp_ref, cp_ref,
         """
         if ox == 0 and oy == 0:
             zero = jnp.zeros((tr, H), jnp.float32)
-            return (zero, t_c != 0, zero, zero, zero)
+            return (zero, t_c > 1, zero, zero, zero)
         rs = slice(R + ox, R + ox + tr)
         cs = slice(R + oy, R + oy + H)
         tp = band_p[rs, cs]
         tq = band_q[rs, cs]
-        cp = band_cp[rs, cs]
-        cq = band_cq[rs, cs]
         causal = tp <= t_c
         vis = jnp.where(causal, tp, tq)
-        tch = jnp.where(causal, cp, cq) > 0
+        tch = vis != 0               # stamp1: 0 <=> never written
+        # untouched cells hold the t=0 initializer (= stamp1 value 1)
+        vis = jnp.maximum(vis, 1)
         d = (t_c - vis).astype(jnp.float32)
         d = jnp.where(d < 0, d + _WRAP, d)
-        eli = (vis != 0) & (d < _HALF_WRAP)
+        # reference inlier rule Y > 0 <=> raw stamp > 0 <=> stamp1 > 1
+        eli = (vis > 1) & (d < _HALF_WRAP)
         u = jnp.where(tch, jnp.float32(ox), -pxf)
         v = jnp.where(tch, jnp.float32(oy), -pyf)
         yv = d * neg_ts
@@ -222,9 +221,9 @@ def _tile_rows(cfg: FlowConfig) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def local_flow_pallas(t_pre, touched_pre, t_post, touched_post,
-                      cfg: FlowConfig):
-    """Pallas local plane-fit flow; same contract as dense_local_flow."""
+def local_flow_pallas(t_pre, t_post, cfg: FlowConfig):
+    """Pallas local plane-fit flow; same contract as dense_local_flow
+    (stamp1-encoded surfaces, see state/surfaces.py)."""
     W, H = cfg.width, cfg.height
     R = cfg.support_radius
     tr = _tile_rows(cfg)
@@ -234,9 +233,7 @@ def local_flow_pallas(t_pre, touched_pre, t_post, touched_post,
     pad = ((R, grid * tr + _rup8(2 * R) - R - W), (R, R))
     args = (
         jnp.pad(t_pre, pad),
-        jnp.pad(touched_pre.astype(jnp.int32), pad),
         jnp.pad(t_post, pad),
-        jnp.pad(touched_post.astype(jnp.int32), pad),
     )
     out_shape = [
         jax.ShapeDtypeStruct((W, H), jnp.int32),     # accept
@@ -249,7 +246,7 @@ def local_flow_pallas(t_pre, touched_pre, t_post, touched_post,
         kern,
         grid=(grid,),
         out_shape=out_shape,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
         out_specs=[pl.BlockSpec((tr, H), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)] * 4,
         interpret=_interpret(),

@@ -41,7 +41,8 @@ def make_spatial_mesh(num_devices: int | None = None) -> Mesh:
 def state_sharding(mesh: Mesh) -> SurfaceState:
     """Shard every [W, H] surface along the sensor x axis."""
     sh = NamedSharding(mesh, P("tx", None))
-    return SurfaceState(*([sh] * 5))
+    repl = NamedSharding(mesh, P())
+    return SurfaceState(sh, sh, sh, sh, sh, repl)   # step counter replicated
 
 
 class SpatialFlowEngine(FlowEngine):

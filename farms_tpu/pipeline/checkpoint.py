@@ -3,7 +3,7 @@
 The reference has no persistence beyond its output file (SURVEY.md §5) -
 processing is one-shot. Here, long event streams are processed in chunks
 with all engine state in one `SurfaceState` pytree, so checkpointing is
-saving five arrays plus the stream's latched t0. A resumed engine continues
+saving the surface arrays plus the stream's latched t0. A resumed engine continues
 the normalized timeline exactly where it stopped (validated by
 tests/test_checkpoint.py against an uninterrupted run).
 """
@@ -14,7 +14,7 @@ import numpy as np
 from farms_tpu.pipeline.engine import FlowEngine
 from farms_tpu.state.surfaces import SurfaceState
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2
 
 
 def save_engine(engine: FlowEngine, path: str) -> str:
@@ -26,10 +26,11 @@ def save_engine(engine: FlowEngine, path: str) -> str:
         path,
         version=np.int32(FORMAT_VERSION),
         t_surf=np.asarray(state.t_surf),
-        touched=np.asarray(state.touched),
+        epoch=np.asarray(state.epoch),
         flow_len=np.asarray(state.flow_len),
         flow_vx=np.asarray(state.flow_vx),
         flow_vy=np.asarray(state.flow_vy),
+        step=np.asarray(state.step),
         t0=np.uint32(engine._t0 if engine._t0 is not None else 0),
         has_t0=np.bool_(engine._t0 is not None),
     )
@@ -53,10 +54,11 @@ def load_engine(engine: FlowEngine, path: str) -> FlowEngine:
                 f"checkpoint geometry {shape} != config geometry {expect}")
         engine.state = SurfaceState(
             t_surf=jnp.asarray(data["t_surf"]),
-            touched=jnp.asarray(data["touched"]),
+            epoch=jnp.asarray(data["epoch"]),
             flow_len=jnp.asarray(data["flow_len"]),
             flow_vx=jnp.asarray(data["flow_vx"]),
             flow_vy=jnp.asarray(data["flow_vy"]),
+            step=jnp.asarray(data["step"]),
         )
         engine._t0 = np.uint32(data["t0"]) if bool(data["has_t0"]) else None
     return engine

@@ -71,6 +71,7 @@ def micro_step(state: SurfaceState, batch, cfg: FlowConfig):
     W, H = cfg.width, cfg.height
     m = x.shape[0]
     idx = jnp.arange(m, dtype=jnp.int32)
+    t1 = t + 1     # stamp1 encoding (see state/surfaces.py)
 
     # ---- permanent staleness kill (exact; see state/surfaces.py) ----
     state = kill_stale_flow(state, t[0], cfg)
@@ -79,23 +80,25 @@ def micro_step(state: SurfaceState, batch, cfg: FlowConfig):
     # Only batch winners write (non-winners would be overwritten anyway:
     # last-write-wins, vFlow.cpp:264-273); invalid lanes are redirected out
     # of bounds and dropped. With host-resolved winners all indices are
-    # unique, which lets XLA skip scatter conflict handling.
+    # unique, which lets XLA skip scatter conflict handling. Two scatters
+    # per chunk: stamp1 (which doubles as the touched mask) and the write
+    # epoch (from which `written` is derived); scatters are the dominant
+    # per-event cost (~7.5 ns each measured), so fewer is faster.
     if is_winner is not None:
         wsx = jnp.where(is_winner, x, W)
-        t_surf = state.t_surf.at[wsx, y].set(t, mode="drop",
+        t_surf = state.t_surf.at[wsx, y].set(t1, mode="drop",
                                              unique_indices=True)
-        touched = state.touched.at[wsx, y].set(True, mode="drop",
-                                               unique_indices=True)
-        written = jnp.zeros((W, H), jnp.bool_).at[wsx, y].set(
-            True, mode="drop", unique_indices=True)
+        epoch = state.epoch.at[wsx, y].set(state.step, mode="drop",
+                                           unique_indices=True)
+        written = epoch == state.step
     else:
         # device-side winner resolution (tuple-batch callers)
         sx = jnp.where(lane_valid, x, W)
-        t_surf = state.t_surf.at[sx, y].max(t, mode="drop")
-        touched = state.touched.at[sx, y].set(True, mode="drop")
+        t_surf = state.t_surf.at[sx, y].max(t1, mode="drop")
         slot = jnp.full((W, H), -1, dtype=jnp.int32)
         slot = slot.at[sx, y].max(idx, mode="drop")
         written = slot >= 0
+        epoch = jnp.where(written, state.step, state.epoch)
         is_winner = (slot[x, y] == idx) & lane_valid
 
     if cfg.use_dense:
@@ -111,11 +114,10 @@ def micro_step(state: SurfaceState, batch, cfg: FlowConfig):
             pk_local = pk_apert = cfg.use_pallas
         if pk_local:
             vx_map, vy_map, gate_map, len_map, theta_map = (
-                pallas_kernels.local_flow_pallas(
-                    state.t_surf, state.touched, t_surf, touched, cfg))
+                pallas_kernels.local_flow_pallas(state.t_surf, t_surf, cfg))
         else:
             vx_map, vy_map, gate_map, len_map, theta_map = dense_local_flow(
-                state.t_surf, state.touched, t_surf, touched, cfg)
+                state.t_surf, t_surf, cfg)
 
         # flow-surface writes for every pixel written this batch
         # (vFlow.cpp:349-356 valid / 398-402 invalid)
@@ -151,12 +153,13 @@ def micro_step(state: SurfaceState, batch, cfg: FlowConfig):
         # (dtdp == 0 planes); scrub them so outputs stay finite
         out_maps = jnp.nan_to_num(out_maps, nan=0.0, posinf=0.0, neginf=0.0)
         out = onehot_gather(out_maps, x, y, W, H)            # [7, m]
-        new_state = SurfaceState(t_surf, touched, flow_len, flow_vx, flow_vy)
+        new_state = SurfaceState(t_surf, epoch, flow_len, flow_vx, flow_vy,
+                                 state.step + 1)
         return new_state, out
 
     # ---- per-event reference path ----
     raw_vx, raw_vy, gate_valid, length, theta = local_flow_batch(
-        state.t_surf, state.touched, t_surf, touched, x, y, t, cfg
+        state.t_surf, t_surf, x, y, t1, cfg
     )
 
     # ---- flow-surface writes (vFlow.cpp:349-356 valid / 398-402 invalid) ----
@@ -190,7 +193,8 @@ def micro_step(state: SurfaceState, batch, cfg: FlowConfig):
         ],
         axis=0,
     )
-    new_state = SurfaceState(t_surf, touched, flow_len, flow_vx, flow_vy)
+    new_state = SurfaceState(t_surf, epoch, flow_len, flow_vx, flow_vy,
+                             state.step + 1)
     return new_state, out
 
 

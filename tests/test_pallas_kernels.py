@@ -21,13 +21,14 @@ CFG = FlowConfig(width=48, height=40, chunk_size=64)
 
 
 def _surfaces(seed=0):
+    """stamp1-encoded surfaces (see state/surfaces.py): 0 = untouched."""
     rng = np.random.default_rng(seed)
     W, H = CFG.width, CFG.height
-    t_pre = jnp.asarray(rng.integers(1, 5_000_000, (W, H)), jnp.int32)
-    t_post = t_pre.at[10:30, 5:25].add(1000)
-    touched_pre = jnp.asarray(rng.random((W, H)) < 0.8)
-    touched_post = touched_pre | (t_post != t_pre)
-    return t_pre, touched_pre, t_post, touched_post
+    touched = rng.random((W, H)) < 0.8
+    t_pre = np.where(touched, rng.integers(1, 5_000_000, (W, H)) + 1, 0)
+    t_post = t_pre.copy()
+    t_post[10:30, 5:25] = t_pre[10:30, 5:25] + 1000 + (t_pre[10:30, 5:25] == 0)
+    return jnp.asarray(t_pre, jnp.int32), jnp.asarray(t_post, jnp.int32)
 
 
 def _assert_mostly_equal(ref, out, what, frac=0.01):
@@ -42,9 +43,9 @@ def _assert_mostly_equal(ref, out, what, frac=0.01):
 
 
 def test_local_flow_matches_dense():
-    args = _surfaces()
-    ref = dense_local_flow(*args, CFG)
-    out = pk.local_flow_pallas(*args, CFG)
+    t_pre, t_post = _surfaces()
+    ref = dense_local_flow(t_pre, t_post, CFG)
+    out = pk.local_flow_pallas(t_pre, t_post, CFG)
     _assert_mostly_equal(ref, out, "local")
 
 
@@ -52,14 +53,16 @@ def test_local_flow_wraparound_and_untouched():
     """Future stamps (mod-2^32 wrap) and untouched-cell coordinates."""
     rng = np.random.default_rng(1)
     W, H = CFG.width, CFG.height
-    # mix small and huge stamps so some neighbors appear "in the future"
+    # mix small and huge stamp1 values so some neighbors appear "in the
+    # future" (mod-2^32 wrap) and some are untouched (0)
+    touched = rng.random((W, H)) < 0.5
     t_pre = jnp.asarray(
-        rng.choice([100, 5000, 2**31 + 7, 2**32 - 3], size=(W, H)),
-        jnp.uint32).view(jnp.int32).reshape(W, H)
+        np.where(touched,
+                 rng.choice([101, 5001, 2**31 + 7, 2**32 - 3], size=(W, H)),
+                 0).astype(np.uint32).view(np.int32), jnp.int32)
     t_post = t_pre
-    touched = jnp.asarray(rng.random((W, H)) < 0.5)
-    ref = dense_local_flow(t_pre, touched, t_post, touched, CFG)
-    out = pk.local_flow_pallas(t_pre, touched, t_post, touched, CFG)
+    ref = dense_local_flow(t_pre, t_post, CFG)
+    out = pk.local_flow_pallas(t_pre, t_post, CFG)
     _assert_mostly_equal(ref, out, "wrap")
 
 

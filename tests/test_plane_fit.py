@@ -12,13 +12,13 @@ from farms_tpu.ops.local_flow import local_flow_batch
 
 
 def _run_single(t_surf, touched, x, y, t_ev, cfg):
-    """Run local_flow_batch for one event."""
+    """Run local_flow_batch for one event (stamp1-encodes the surfaces)."""
+    t1 = np.where(touched, t_surf.astype(np.int64) + 1, 0).astype(np.int32)
     out = local_flow_batch(
-        jnp.asarray(t_surf), jnp.asarray(touched),
-        jnp.asarray(t_surf), jnp.asarray(touched),
+        jnp.asarray(t1), jnp.asarray(t1),
         jnp.asarray([x], dtype=jnp.int32),
         jnp.asarray([y], dtype=jnp.int32),
-        jnp.asarray([t_ev], dtype=jnp.int32),
+        jnp.asarray([t_ev + 1], dtype=jnp.int32),
         cfg,
     )
     return [np.asarray(o)[0] for o in out]
