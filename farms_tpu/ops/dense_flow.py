@@ -32,8 +32,20 @@ _WRAP = jnp.float32(2.0 ** 32)
 _HALF_WRAP = jnp.float32(2.0 ** 31)
 
 
-def _shifted(arr, ox, oy, fill):
-    """arr[p + (ox, oy)] with out-of-bounds cells = fill. Static slices."""
+def _shifted(arr, ox, oy, fill, halo: int = 0):
+    """arr[p + (ox, oy)] with out-of-bounds cells = fill. Static slices.
+
+    With `halo` > 0 the array already carries `halo` extra rows on each
+    side (a sharded tile with exchanged neighbor bands), so x shifts are
+    plain slices of the extension instead of pads; |ox| must be <= halo.
+    """
+    if halo:
+        rows = arr.shape[0] - 2 * halo
+        arr = arr[halo + ox:halo + ox + rows, :]
+        W, H = arr.shape
+        ph_lo, ph_hi = max(0, -oy), max(0, oy)
+        padded = jnp.pad(arr, ((0, 0), (ph_lo, ph_hi)), constant_values=fill)
+        return padded[:, ph_lo + oy:ph_lo + oy + H]
     W, H = arr.shape
     pw_lo, pw_hi = max(0, -ox), max(0, ox)
     ph_lo, ph_hi = max(0, -oy), max(0, oy)
@@ -44,7 +56,8 @@ def _shifted(arr, ox, oy, fill):
     return padded[x0:x0 + W, y0:y0 + H]
 
 
-def dense_local_flow(t_pre, t_post, cfg: FlowConfig):
+def dense_local_flow(t_pre, t_post, cfg: FlowConfig, *,
+                     halo: int = 0, row_offset=0):
     """Local plane-fit flow for every pixel, against its causal surface view.
 
     `t_pre`/`t_post` are stamp1-encoded surfaces (stamp + 1, 0 = never
@@ -53,17 +66,24 @@ def dense_local_flow(t_pre, t_post, cfg: FlowConfig):
     (t_post[p]); results are meaningful at pixels written this micro-batch
     and are gathered per event by the engine.
 
+    Sharded-tile mode (parallel/halo.py): with `halo` > 0 the inputs carry
+    `halo` exchanged neighbor rows on each side (zeros past the global
+    sensor edge, matching the pad fill), outputs cover only the core rows,
+    and `row_offset` (possibly traced: the shard's global first row) keeps
+    coordinates and border checks global.
+
     Returns per-pixel maps (raw_vx, raw_vy, gate_valid, length, theta).
     """
-    W, H = cfg.width, cfg.height
+    W, H = cfg.width, cfg.height      # global sensor bounds
     k = cfg.filter_size
     f = cfg.f_rad
     R = cfg.support_radius
     n_cells = k * k
+    rows = t_post.shape[0] - 2 * halo  # core rows this call computes
 
-    t_c = t_post                     # center stamp1, int32 us
-    px = jax.lax.broadcasted_iota(jnp.int32, (W, H), 0)
-    py = jax.lax.broadcasted_iota(jnp.int32, (W, H), 1)
+    t_c = t_post[halo:halo + rows, :] if halo else t_post   # center stamp1
+    px = jax.lax.broadcasted_iota(jnp.int32, (rows, H), 0) + row_offset
+    py = jax.lax.broadcasted_iota(jnp.int32, (rows, H), 1)
 
     # ---- per-offset causal views over the support (2R+1)^2 ----
     offs = range(-R, R + 1)
@@ -76,10 +96,10 @@ def dense_local_flow(t_pre, t_post, cfg: FlowConfig):
         for oy in offs:
             if ox == 0 and oy == 0:
                 vis = t_c
-                tch = jnp.ones((W, H), dtype=jnp.bool_)
+                tch = jnp.ones(t_c.shape, dtype=jnp.bool_)
             else:
-                tp = _shifted(t_post, ox, oy, 0)
-                tq = _shifted(t_pre, ox, oy, 0)
+                tp = _shifted(t_post, ox, oy, 0, halo)
+                tq = _shifted(t_pre, ox, oy, 0, halo)
                 causal = tp <= t_c   # neighbor's latest write not in p's future
                 vis = jnp.where(causal, tp, tq)
                 tch = vis != 0       # stamp1: 0 <=> never written
@@ -149,7 +169,7 @@ def dense_local_flow(t_pre, t_post, cfg: FlowConfig):
     local_ok = jnp.isfinite(jnp.min(score_stack, axis=0))
 
     def select(parts, dtype=jnp.float32):
-        out = jnp.zeros((W, H), dtype=dtype)
+        out = jnp.zeros((rows, H), dtype=dtype)
         for ci, part in enumerate(parts):
             out = jnp.where(best == ci, part, out)
         return out
@@ -178,21 +198,31 @@ def dense_local_flow(t_pre, t_post, cfg: FlowConfig):
     return raw_vx, raw_vy, gate_valid, length, theta
 
 
-def dense_aperture(flow_len, flow_vx, flow_vy, cfg: FlowConfig):
+def dense_aperture(flow_len, flow_vx, flow_vy, cfg: FlowConfig, *,
+                   halo: int = 0):
     """Multi-scale aperture pooling for every pixel via shifted integrals.
 
     Box sums come from 4 clamped static shifts of the padded integral image
     per scale (the clamped shifts realize the reference's window clamping,
     vFlow.cpp:998-1000; the y-by-width quirk is honored via config).
 
+    Sharded-tile mode (parallel/halo.py): with `halo` >= max_window + 1 the
+    inputs carry exchanged neighbor rows (zero-filled past the global
+    edge); zero fields beyond the edge contribute nothing to box sums,
+    which is exactly what the reference's x clamping computes, so the x
+    side needs no clamps and outputs cover only the core rows.
+
     Returns per-pixel maps (true_vx, true_vy, scale).
     """
-    W, H = cfg.width, cfg.height
+    W, H = cfg.width, cfg.height      # global sensor bounds
+    if halo and halo < cfg.max_window + 1:
+        raise ValueError(f"halo {halo} < max_window+1 {cfg.max_window + 1}")
+    rows = flow_len.shape[0] - 2 * halo
     gate = (flow_len > 0).astype(jnp.float32)
     fields = jnp.stack(
         [gate, flow_len * gate, flow_vx * gate, flow_vy * gate], 0)
     integ = jnp.pad(jnp.cumsum(jnp.cumsum(fields, axis=1), axis=2),
-                    ((0, 0), (1, 0), (1, 0)))           # [4, W+1, H+1]
+                    ((0, 0), (1, 0), (1, 0)))       # [4, rows+2*halo+1, H+1]
 
     y_hi = (W if cfg.replicate_y_clamp_quirk else H) - 1
 
@@ -201,16 +231,26 @@ def dense_aperture(flow_len, flow_vx, flow_vy, cfg: FlowConfig):
     integ_y = integ[:, :, :min(y_hi + 2, H + 1)]
 
     def corner(sx, sy):
-        """integ[:, clip(px + sx, 0, W), clip(py + sy, 0, y_clamp)]"""
+        """integ[:, clip(px + sx, 0, W), clip(py + sy, 0, y_clamp)]
+
+        In halo mode the x read is a direct slice of the extended
+        integral (no clamp needed, see docstring)."""
         out = []
         for f_ in range(4):
             arr = integ_y[f_]
             L_x, L_y = arr.shape
-            lo_x, lo_y = max(0, -sx), max(0, -sy)
-            hi_x = max(0, W - 1 + sx - (L_x - 1))
+            lo_y = max(0, -sy)
             hi_y = max(0, H - 1 + sy - (L_y - 1))
-            p = jnp.pad(arr, ((lo_x, hi_x), (lo_y, hi_y)), mode="edge")
-            out.append(p[lo_x + sx:lo_x + sx + W, lo_y + sy:lo_y + sy + H])
+            if halo:
+                p = jnp.pad(arr, ((0, 0), (lo_y, hi_y)), mode="edge")
+                out.append(p[halo + sx:halo + sx + rows,
+                             lo_y + sy:lo_y + sy + H])
+            else:
+                lo_x = max(0, -sx)
+                hi_x = max(0, W - 1 + sx - (L_x - 1))
+                p = jnp.pad(arr, ((lo_x, hi_x), (lo_y, hi_y)), mode="edge")
+                out.append(p[lo_x + sx:lo_x + sx + W,
+                             lo_y + sy:lo_y + sy + H])
         return jnp.stack(out, 0)
 
     pools = []   # per scale: (mean_vx, mean_vy)
@@ -228,13 +268,13 @@ def dense_aperture(flow_len, flow_vx, flow_vy, cfg: FlowConfig):
         mean_lens.append(jnp.where(has, box[1] / safe, 0.0))
         pools.append((box[2] / safe, box[3] / safe))
 
-    ml = jnp.stack(mean_lens, 0)                      # [S, W, H]
+    ml = jnp.stack(mean_lens, 0)                      # [S, rows, H]
     best = jnp.argmax(ml, axis=0)                     # first strict max
     max_val = jnp.max(ml, axis=0)
 
-    tvx = jnp.zeros((W, H), jnp.float32)
-    tvy = jnp.zeros((W, H), jnp.float32)
-    scale = jnp.zeros((W, H), jnp.int32)
+    tvx = jnp.zeros((rows, H), jnp.float32)
+    tvy = jnp.zeros((rows, H), jnp.float32)
+    scale = jnp.zeros((rows, H), jnp.int32)
     for si, s in enumerate(cfg.scales):
         hit = best == si
         tvx = jnp.where(hit, pools[si][0], tvx)
@@ -243,8 +283,10 @@ def dense_aperture(flow_len, flow_vx, flow_vy, cfg: FlowConfig):
 
     pooled = max_val > 0
     # fallback: center flow, scale 0 (vFlow.cpp:1086-1094)
-    tvx = jnp.where(pooled, tvx, flow_vx)
-    tvy = jnp.where(pooled, tvy, flow_vy)
+    core_vx = flow_vx[halo:halo + rows, :] if halo else flow_vx
+    core_vy = flow_vy[halo:halo + rows, :] if halo else flow_vy
+    tvx = jnp.where(pooled, tvx, core_vx)
+    tvy = jnp.where(pooled, tvy, core_vy)
     scale = jnp.where(pooled, scale, 0)
     return tvx, tvy, scale
 

@@ -1,0 +1,196 @@
+"""Explicit halo-exchange spatial sharding via shard_map + ppermute.
+
+The hand-scheduled counterpart of parallel/tiling.py (which leaves halo
+insertion to the GSPMD partitioner): each device owns a contiguous band of
+sensor rows, and the two stencil stages receive exactly the neighbor rows
+they need as explicit `lax.ppermute` ring exchanges over ICI -
+
+- the plane-fit stage reads a `support_radius`-deep band of the time
+  surfaces (reference gathers reach +-2*f_rad, vFlow.cpp:870-884), and
+- the aperture stage reads a `max_window + 1`-deep band of the flow
+  surfaces (pooling reaches +-max_window, vFlow.cpp:987; +1 for the
+  integral-image corner).
+
+Zero-filled bands past the global sensor edge reproduce the reference's
+window clamping exactly (zero fields contribute nothing to box sums, and
+stamp1 == 0 means "never written"; see ops/dense_flow.py halo mode).
+
+This is SURVEY.md section 7 step 4: surface state sharded P('tx', None),
+border bands exchanged over ICI, per-event outputs combined with a psum.
+Compared to the GSPMD path, the collectives here are deterministic and
+minimal: two band exchanges per micro-step regardless of how XLA chooses
+to partition the stencils.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from farms_tpu.config import FlowConfig
+from farms_tpu.events.io import EventBatch
+from farms_tpu.ops.dense_flow import dense_aperture, dense_local_flow, onehot_gather
+from farms_tpu.pipeline.engine import FlowEngine
+from farms_tpu.state.surfaces import SurfaceState, kill_stale_flow
+
+
+def exchange_halo(arr, h: int, n: int, axis_name: str = "tx"):
+    """Extend a [rows, H] shard with h rows from each ring neighbor.
+
+    Returns [rows + 2h, H]; bands past the global sensor edge (device 0's
+    top, device n-1's bottom) are zero-filled, which both stencil stages
+    interpret as "outside the sensor" (ops/dense_flow.py halo mode).
+    """
+    if h == 0:
+        return arr
+    idx = jax.lax.axis_index(axis_name)
+    fwd = [(i, (i + 1) % n) for i in range(n)]   # to next shard (rows below)
+    bwd = [(i, (i - 1) % n) for i in range(n)]   # to previous shard
+    from_prev = jax.lax.ppermute(arr[-h:], axis_name, fwd)
+    from_next = jax.lax.ppermute(arr[:h], axis_name, bwd)
+    zero = jnp.zeros_like(from_prev)
+    from_prev = jnp.where(idx == 0, zero, from_prev)
+    from_next = jnp.where(idx == n - 1, zero, from_next)
+    return jnp.concatenate([from_prev, arr, from_next], axis=0)
+
+
+def halo_micro_step(state: SurfaceState, batch, cfg: FlowConfig, n: int):
+    """One micro-step executed per shard under shard_map.
+
+    `state` holds this shard's [rows, H] surface bands; `batch` is the
+    replicated packed int32 [5, m] micro-batch (host-resolved winners,
+    pipeline/engine.py pack()). Mirrors micro_step's dense branch with the
+    two stencil stages running on halo-extended local bands.
+    """
+    rows = cfg.width // n
+    idx = jax.lax.axis_index("tx")
+    row0 = idx * rows
+
+    x, y, t = batch[0], batch[1], batch[2]
+    is_winner = batch[4].astype(jnp.bool_)
+    t1 = t + 1
+
+    state = kill_stale_flow(state, t[0], cfg)
+
+    # ---- scatter winners that land in this shard's core rows ----
+    lx = x - row0
+    in_core = (lx >= 0) & (lx < rows)
+    wsx = jnp.where(is_winner & in_core, lx, rows)
+    t_surf = state.t_surf.at[wsx, y].set(t1, mode="drop", unique_indices=True)
+    epoch = state.epoch.at[wsx, y].set(state.step, mode="drop",
+                                       unique_indices=True)
+    written = epoch == state.step
+
+    # ---- plane-fit stage on support_radius-extended time surfaces ----
+    R = cfg.support_radius
+    t_pre_ext = exchange_halo(state.t_surf, R, n)
+    t_post_ext = exchange_halo(t_surf, R, n)
+    vx_map, vy_map, gate_map, len_map, theta_map = dense_local_flow(
+        t_pre_ext, t_post_ext, cfg, halo=R, row_offset=row0)
+
+    # flow-surface writes (vFlow.cpp:349-356 valid / 398-402 invalid)
+    flow_len = jnp.where(
+        written, jnp.where(gate_map, len_map, 0.0), state.flow_len)
+    flow_vx = jnp.where(
+        written, jnp.where(gate_map, vx_map, 0.0), state.flow_vx)
+    flow_vy = jnp.where(
+        written, jnp.where(gate_map, vy_map, 0.0), state.flow_vy)
+
+    # ---- aperture stage on (max_window + 1)-extended flow surfaces ----
+    A = cfg.max_window + 1
+    len_ext = exchange_halo(flow_len, A, n)
+    vx_ext = exchange_halo(flow_vx, A, n)
+    vy_ext = exchange_halo(flow_vy, A, n)
+    tvx_map, tvy_map, scale_map = dense_aperture(
+        len_ext, vx_ext, vy_ext, cfg, halo=A)
+
+    r_true_map = jnp.sqrt(tvx_map * tvx_map + tvy_map * tvy_map)
+    theta_true_map = jnp.arctan2(tvy_map, tvx_map)
+    out_maps = jnp.stack(
+        [
+            jnp.where(gate_map, r_true_map, 0.0),
+            jnp.where(gate_map, theta_true_map, 0.0),
+            vx_map,
+            vy_map,
+            jnp.where(gate_map, len_map, 0.0),
+            jnp.where(gate_map, theta_map, 0.0),
+            jnp.where(gate_map, scale_map, 0).astype(jnp.float32),
+        ],
+        axis=0,
+    )
+    out_maps = jnp.nan_to_num(out_maps, nan=0.0, posinf=0.0, neginf=0.0)
+
+    # ---- per-event gather: owner shard contributes, psum combines ----
+    safe_lx = jnp.clip(lx, 0, rows - 1)
+    out = onehot_gather(out_maps, safe_lx, y, rows, cfg.height)
+    out = jnp.where(in_core[None, :], out, 0.0)
+    out = jax.lax.psum(out, "tx")
+
+    new_state = SurfaceState(t_surf, epoch, flow_len, flow_vx, flow_vy,
+                             state.step + 1)
+    return new_state, out
+
+
+class HaloFlowEngine(FlowEngine):
+    """FlowEngine with explicit ppermute halo exchange over a ('tx',) mesh."""
+
+    def __init__(self, cfg: FlowConfig, num_devices: int | None = None,
+                 mesh: Mesh | None = None):
+        if not cfg.use_dense:
+            raise ValueError("halo sharding requires the dense compute path")
+        if cfg.use_pallas:
+            raise ValueError(
+                "halo sharding uses the XLA dense stencils; Pallas kernels "
+                "operate on whole-sensor blocks (use_pallas must be falsy)")
+        super().__init__(cfg)
+        if mesh is None:
+            devs = jax.devices()
+            if num_devices is not None:
+                devs = devs[:num_devices]
+            mesh = Mesh(np.array(devs), axis_names=("tx",))
+        self.mesh = mesh
+        n = int(mesh.devices.size)
+        self.n_shards = n
+        if cfg.width % n != 0:
+            raise ValueError(
+                f"sensor width {cfg.width} not divisible by mesh size {n}")
+        rows = cfg.width // n
+        need = max(cfg.support_radius, cfg.max_window + 1)
+        if rows < need:
+            raise ValueError(
+                f"shard of {rows} rows is thinner than the halo ({need}); "
+                f"use fewer shards or a smaller max_window")
+
+        surf = P("tx", None)
+        state_specs = SurfaceState(surf, surf, surf, surf, surf, P())
+        self._state_shardings = jax.tree.map(
+            lambda s: NamedSharding(mesh, s), state_specs,
+            is_leaf=lambda s: isinstance(s, P))
+        self._repl = NamedSharding(mesh, P())
+        self.state = jax.device_put(self.state, self._state_shardings)
+
+        step = jax.shard_map(
+            functools.partial(halo_micro_step, cfg=cfg, n=n),
+            mesh=mesh,
+            in_specs=(state_specs, P(None, None)),
+            out_specs=(state_specs, P(None, None)),
+            check_vma=False,
+        )
+
+        @functools.partial(jax.jit, donate_argnums=(0,),
+                           out_shardings=(self._state_shardings, None))
+        def _scan(state, chunk):
+            return jax.lax.scan(lambda st, b: step(st, b), state, chunk)
+
+        self._scan = _scan
+
+    def reset(self):
+        super().reset()
+        self.state = jax.device_put(self.state, self._state_shardings)
+
+    def _dispatch(self, chunk):
+        chunk = jax.device_put(chunk, self._repl)
+        return self._scan(self.state, chunk)

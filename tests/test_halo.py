@@ -1,0 +1,58 @@
+"""Explicit halo-exchange engine (parallel/halo.py) vs single device.
+
+Runs on the virtual 8-device CPU mesh (conftest.py). Shard thickness must
+cover the aperture halo (max_window + 1 rows), so these configs shrink
+max_window rather than the sensor.
+"""
+import numpy as np
+import pytest
+
+from farms_tpu.config import FlowConfig
+from farms_tpu.events.io import synthetic_translating_bar
+from farms_tpu.parallel.halo import HaloFlowEngine
+from farms_tpu.pipeline.engine import FlowEngine
+
+
+@pytest.fixture(scope="module")
+def events():
+    return synthetic_translating_bar(
+        width=64, height=64, bar_len=20, duration_us=30000,
+        speed_px_per_sec=1000, jitter_us=20, seed=1,
+    )[:512]
+
+
+def _compare(cfg, events, n_dev):
+    ref = FlowEngine(cfg).process(events)
+    got = HaloFlowEngine(cfg, num_devices=n_dev).process(events)
+    np.testing.assert_array_equal(ref.scale, got.scale)
+    np.testing.assert_allclose(ref.r_true, got.r_true, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(ref.theta_true, got.theta_true,
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(ref.vx, got.vx, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(ref.vy, got.vy, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(ref.r_local, got.r_local, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("n_dev", [2, 4])
+def test_halo_matches_single_device(events, n_dev):
+    cfg = FlowConfig(width=64, height=64, chunk_size=64, steps_per_scan=2,
+                     max_window=10, use_pallas=False)
+    _compare(cfg, events, n_dev)
+
+
+def test_halo_filter5(events):
+    cfg = FlowConfig(width=64, height=64, chunk_size=64, steps_per_scan=2,
+                     filter_size=5, max_window=10, use_pallas=False)
+    _compare(cfg, events, 2)
+
+
+def test_halo_rejects_thin_shards():
+    cfg = FlowConfig(width=64, height=64, use_pallas=False)  # max_window=50
+    with pytest.raises(ValueError):
+        HaloFlowEngine(cfg, num_devices=8)
+
+
+def test_halo_rejects_indivisible_width():
+    cfg = FlowConfig(width=66, height=64, max_window=10, use_pallas=False)
+    with pytest.raises(ValueError):
+        HaloFlowEngine(cfg, num_devices=4)
