@@ -100,17 +100,25 @@ def dense_local_flow(t_pre, t_post, cfg: FlowConfig, *,
             else:
                 tp = _shifted(t_post, ox, oy, 0, halo)
                 tq = _shifted(t_pre, ox, oy, 0, halo)
-                causal = tp <= t_c   # neighbor's latest write not in p's future
+                # neighbor's latest write not in p's future. stamp1 values
+                # are uint32 stored in int32, so order via the int32
+                # *difference* (exact mod-2^32 for any pair < 2^31 apart),
+                # never a direct signed compare (wrong once stamps >= 2^31,
+                # ~35.8 min of stream).
+                causal = (t_c - tp) >= 0
                 vis = jnp.where(causal, tp, tq)
                 tch = vis != 0       # stamp1: 0 <=> never written
                 # untouched cells hold the t=0 initializer (raw stamp 0 =
-                # stamp1 value 1), so clamp before differencing
-                vis = jnp.maximum(vis, 1)
+                # stamp1 value 1); map only the 0 encoding - any other
+                # value, including wrapped-negative int32, is a real stamp
+                vis = jnp.where(vis == 0, 1, vis)
             d = (t_c - vis).astype(jnp.float32)
             d = jnp.where(d < 0, d + _WRAP, d)
             D[(ox, oy)] = d
-            # reference inlier rule Y > 0 <=> raw stamp > 0 <=> stamp1 > 1
-            ELI[(ox, oy)] = (vis > 1) & (d < _HALF_WRAP)
+            # reference inlier rule Y > 0 <=> raw stamp > 0 <=> stamp1 not
+            # in {0 (never written), 1 (raw stamp 0)} - an unsigned-domain
+            # test, so != not > (stamp1 wraps negative past 2^31)
+            ELI[(ox, oy)] = (vis != 0) & (vis != 1) & (d < _HALF_WRAP)
             # untouched cells contribute the Event(0,0,0,0) initializer's
             # coordinates (vFlow.cpp:80-93): u = 0 - px
             U[(ox, oy)] = jnp.where(tch, jnp.float32(ox), -px.astype(jnp.float32))

@@ -73,15 +73,19 @@ def local_flow_batch(
     # pixel always shows the event itself (vFlow.cpp:267 writes cSurf
     # before computeLocalFlow reads it).
     post_t = t_post[cgx, cgy]
-    causal = post_t <= t_ev[:, None, None]
+    # stamp1 values are uint32 stored in int32: order via the int32
+    # *difference* (exact mod-2^32 for pairs < 2^31 apart), never a direct
+    # signed compare (wrong once stamps >= 2^31, ~35.8 min of stream)
+    causal = (t_ev[:, None, None] - post_t) >= 0
     own = (cgx == x[:, None, None]) & (cgy == y[:, None, None])
     t_patch = jnp.where(causal, post_t, t_pre[cgx, cgy])
     t_patch = jnp.where(own, t_ev[:, None, None], t_patch)
     # stamp1 encoding: 0 <=> never written (state/surfaces.py)
     touched_patch = (t_patch != 0) | own
-    # untouched cells hold the t=0 initializer (= stamp1 value 1), so clamp
-    # before differencing; eligibility (stamp1 > 1) is unaffected
-    t_patch = jnp.maximum(t_patch, 1)
+    # untouched cells hold the t=0 initializer (= stamp1 value 1); map only
+    # the 0 encoding - any other value, including wrapped-negative int32,
+    # is a real stamp
+    t_patch = jnp.where(t_patch == 0, 1, t_patch)
 
     # us difference modulo 2^32, exactly as the reference computes it:
     # signed int32 subtraction is exact, and stamps from the "future"
@@ -135,8 +139,11 @@ def local_flow_batch(
         return jnp.einsum("mc,mcij->mij", onehot, stack_f32)
 
     d_win = pick(d_stack)
-    # reference inlier rule Y > 0 <=> raw stamp > 0 <=> stamp1 > 1
-    t_win_positive = pick((t_stack > 1).astype(jnp.float32)) > 0.5
+    # reference inlier rule Y > 0 <=> raw stamp > 0 <=> stamp1 not in
+    # {0 (never written), 1 (raw stamp 0)} - an unsigned-domain test, so
+    # != not > (stamp1 wraps negative past 2^31)
+    t_win_positive = pick(
+        ((t_stack != 0) & (t_stack != 1)).astype(jnp.float32)) > 0.5
     tchd_win = pick(tchd_stack.astype(jnp.float32)) > 0.5
 
     # absolute coordinates of the winning window's cells (clamped like the

@@ -116,20 +116,26 @@ def _local_flow_kernel(tq_ref, tp_ref,
         """
         if ox == 0 and oy == 0:
             zero = jnp.zeros((tr, H), jnp.float32)
-            return (zero, t_c > 1, zero, zero, zero)
+            # eligibility: stamp1 not in {0, 1} - unsigned-domain test
+            # (stamp1 wraps negative past 2^31), see ops/dense_flow.py
+            return (zero, (t_c != 0) & (t_c != 1), zero, zero, zero)
         rs = slice(R + ox, R + ox + tr)
         cs = slice(R + oy, R + oy + H)
         tp = band_p[rs, cs]
         tq = band_q[rs, cs]
-        causal = tp <= t_c
+        # order stamp1 (uint32-in-int32) values via the int32 difference,
+        # exact mod-2^32; a direct signed compare breaks past 2^31
+        causal = (t_c - tp) >= 0
         vis = jnp.where(causal, tp, tq)
         tch = vis != 0               # stamp1: 0 <=> never written
-        # untouched cells hold the t=0 initializer (= stamp1 value 1)
-        vis = jnp.maximum(vis, 1)
+        # untouched cells hold the t=0 initializer (= stamp1 value 1);
+        # map only the 0 encoding - wrapped-negative values are real stamps
+        vis = jnp.where(vis == 0, 1, vis)
         d = (t_c - vis).astype(jnp.float32)
         d = jnp.where(d < 0, d + _WRAP, d)
-        # reference inlier rule Y > 0 <=> raw stamp > 0 <=> stamp1 > 1
-        eli = (vis > 1) & (d < _HALF_WRAP)
+        # reference inlier rule Y > 0 <=> raw stamp > 0 <=> stamp1 not in
+        # {0, 1}; vis == 0 was just remapped to 1, so != 1 covers both
+        eli = (vis != 1) & (d < _HALF_WRAP)
         u = jnp.where(tch, jnp.float32(ox), -pxf)
         v = jnp.where(tch, jnp.float32(oy), -pyf)
         yv = d * neg_ts

@@ -92,14 +92,19 @@ def micro_step(state: SurfaceState, batch, cfg: FlowConfig):
                                            unique_indices=True)
         written = epoch == state.step
     else:
-        # device-side winner resolution (tuple-batch callers)
+        # device-side winner resolution (tuple-batch callers): the winner
+        # at each pixel is the *latest lane* (lanes are chronological), so
+        # resolve by lane index, never by a stamp max - stamp1 is
+        # uint32-in-int32 and a signed max picks wrong once stamps >= 2^31
         sx = jnp.where(lane_valid, x, W)
-        t_surf = state.t_surf.at[sx, y].max(t1, mode="drop")
         slot = jnp.full((W, H), -1, dtype=jnp.int32)
         slot = slot.at[sx, y].max(idx, mode="drop")
         written = slot >= 0
-        epoch = jnp.where(written, state.step, state.epoch)
         is_winner = (slot[x, y] == idx) & lane_valid
+        wsx = jnp.where(is_winner, x, W)
+        t_surf = state.t_surf.at[wsx, y].set(t1, mode="drop",
+                                             unique_indices=True)
+        epoch = jnp.where(written, state.step, state.epoch)
 
     if cfg.use_dense:
         # ---- dense per-pixel path (ops/dense_flow.py), with the two hot

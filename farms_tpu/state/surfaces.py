@@ -6,12 +6,18 @@ TPU-native reformulation of the reference's seven W x H EventMatrix surfaces
 - `t_surf` replaces cSurf stamps, `lastEventTime`, AND the touched mask:
   it stores **stamp + 1** ("stamp1" encoding), so 0 means "never written"
   (the Event(0,0,0,0) initializer, vFlow.cpp:80-93), 1 means "written at
-  normalized stamp 0", and v > 1 means "written at stamp v - 1". All stamp
-  *differences* are unchanged by the shift (mod-2^32 arithmetic), the
-  reference's touched test becomes `v != 0`, and its inlier-eligibility
-  `stamp > 0` becomes `v > 1` - both exact. This removes one W x H array
-  and, more importantly, one per-chunk scatter (measured ~7.5 ns/event
-  each - the pipeline's dominant per-event cost).
+  normalized stamp 0", and any other value v means "written at stamp
+  v - 1" (mod 2^32; values are uint32 bit patterns stored in int32, so
+  consumers MUST compare in the unsigned domain: equality tests against
+  0/1 and int32 *differences* are exact, signed </>/max are not once
+  stamps pass 2^31). All stamp *differences* are unchanged by the shift,
+  the reference's touched test becomes `v != 0`, and its
+  inlier-eligibility `stamp > 0` becomes `v not in {0, 1}`. This removes
+  one W x H array and, more importantly, one per-chunk scatter (measured
+  ~7.5 ns/event each - the pipeline's dominant per-event cost).
+  Known collision: a raw stamp of exactly 2^32 - 1 encodes to 0, i.e.
+  that single value per 71.6-min wrap cycle reads back as "never
+  written" for the one pixel holding it (until its next write).
 - `epoch` records the micro-step counter of each pixel's last write; the
   engine derives "written this step" (which pixels receive flow-surface
   updates, vFlow.cpp:347-357) by comparing with `step`.

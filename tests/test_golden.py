@@ -118,6 +118,47 @@ def test_chunked_mode_within_budget(bar_events, bar_oracle, chunk_size, dense):
     assert _angular_err_deg(ref, got, m).mean() < 5.0
 
 
+@pytest.mark.parametrize("dense", [False, True])
+def test_serial_mode_matches_oracle_past_2e31(dense):
+    """Streams older than ~35.8 min: normalized stamps exceed 2^31.
+
+    stamp1 values then wrap negative as int32; every stamp comparison must
+    run in the unsigned domain (ADVICE round 1: signed compares corrupted
+    eligibility/clamping for the entire second half of the uint32 timeline).
+    The float64 oracle is immune (stamps are exact doubles), so agreement
+    here is independent evidence.
+    """
+    bar = synthetic_translating_bar(
+        width=64, height=64, bar_len=20, duration_us=30000,
+        speed_px_per_sec=1000, jitter_us=20, seed=3,
+    )[:500]
+    # one anchor event latches t0; the bar then plays out straddling 2^31
+    shift = np.uint32(2**31 - 15000)
+    ev = type(bar)(
+        x=np.concatenate([[5], bar.x]).astype(np.int32),
+        y=np.concatenate([[5], bar.y]).astype(np.int32),
+        t=np.concatenate([[np.uint32(5)],
+                          bar.t + shift + np.uint32(5)]).astype(np.uint32),
+        pol=np.concatenate([[1], bar.pol]).astype(np.int32),
+    )
+    assert int(ev.t[-1] - ev.t[0]) > 2**31  # really crosses the boundary
+
+    cfg = FlowConfig(width=64, height=64, chunk_size=1, steps_per_scan=32,
+                     use_dense=dense)
+    ref = run_oracle(ev, cfg)
+    got = FlowEngine(cfg).process(ev)
+
+    ref_valid = ref.r_local > 0
+    got_valid = got.r_local > 0
+    assert ref_valid.sum() > 100  # the fixture produces real flow
+    np.testing.assert_array_equal(ref_valid, got_valid)
+    np.testing.assert_array_equal(ref.scale, got.scale)
+    m = ref_valid
+    np.testing.assert_allclose(got.r_local[m], ref.r_local[m], rtol=1e-4)
+    np.testing.assert_allclose(got.r_true[m], ref.r_true[m], rtol=1e-4)
+    assert _angular_err_deg(ref, got, m).max() < 0.01
+
+
 def test_streaming_continuation_equals_one_shot(bar_events):
     """process() called in pieces must equal one call (state carry)."""
     cfg = FlowConfig(width=64, height=64, chunk_size=32, steps_per_scan=2)

@@ -66,6 +66,32 @@ def test_local_flow_wraparound_and_untouched():
     _assert_mostly_equal(ref, out, "wrap")
 
 
+def test_local_flow_stamp_shift_invariance():
+    """Adding a constant (mod 2^32) to every stamp must not change outputs.
+
+    All plane-fit math depends only on stamp *differences*; only the 0/1
+    stamp1 encodings are absolute. With surfaces holding no 0/1 values,
+    shifting the whole timeline by 2^31 + delta (driving every stamp1 into
+    the negative int32 range) must therefore be a no-op. Before the round-1
+    ADVICE fix, signed compares broke this for the shifted half.
+    """
+    rng = np.random.default_rng(4)
+    W, H = CFG.width, CFG.height
+    base = rng.integers(100, 40_000, (W, H)).astype(np.uint32)
+    hot = base.copy()
+    hot[10:30, 5:25] += 1000
+    shift = np.uint32(2**31 + 12345)
+    for fn in (dense_local_flow, pk.local_flow_pallas):
+        lo = fn(jnp.asarray(base.view(np.int32)),
+                jnp.asarray(hot.view(np.int32)), CFG)
+        hi = fn(jnp.asarray((base + shift).view(np.int32)),
+                jnp.asarray((hot + shift).view(np.int32)), CFG)
+        for name, a, b in zip(["vx", "vy", "gate", "len", "theta"], lo, hi):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b),
+                err_msg=f"{fn.__name__} {name} not shift-invariant")
+
+
 @pytest.mark.parametrize("quirk", [False, True])
 def test_aperture_matches_dense(quirk):
     cfg = FlowConfig(width=48, height=40, chunk_size=64,
