@@ -6,6 +6,19 @@ All reference flags are supported with identical spellings and defaults
 batching/sharding flags the reference has no counterpart for. Output and
 the closing benchmark line match the reference formats
 (vFlow.cpp:433-442, main.cpp:201-209).
+
+Modes, matching the reference dispatch (main.cpp:193-209):
+- `--SERIAL 0` (default): batch processing - the chunked engine; writes
+  `<filename>_FARMSOut_batch.txt` and times the whole processing loop.
+- `--SERIAL 1`: event-serial streaming - per-event `Local <us> <cum>` /
+  `true <us> <cum>` phase prints, NO output file (the reference's writes
+  are commented out, vFlow.cpp:488-489, 730-737), and a compute-only
+  benchmark duration (vFlow.cpp:645, 723).
+
+Every shipped engine is reachable: `--engine single|dp|spatial|halo`
+selects the sharding strategy (parallel/), `--backend auto|pallas|dense|
+perevent` the compute formulation, and `--multihost` initializes
+jax.distributed before any device use.
 """
 from __future__ import annotations
 
@@ -37,8 +50,9 @@ def build_parser() -> argparse.ArgumentParser:
                    dest="num_events", type=int, default=None,
                    help="max number of events to process")
     p.add_argument("--SERIAL", type=int, default=0,
-                   help="1 = event-serial semantics (chunk size 1); "
-                        "0 = batched processing (default)")
+                   help="1 = event-serial streaming mode with per-event "
+                        "phase timing, no output file (reference run()); "
+                        "0 = batched processing (default, runFileCopy)")
     p.add_argument("--v", type=int, default=0, help="verbose mode")
     # TPU-native flags
     p.add_argument("--chunk-size", type=int, default=4096,
@@ -55,14 +69,55 @@ def build_parser() -> argparse.ArgumentParser:
                    help="replicate the reference's y-clamped-by-width bug")
     p.add_argument("--no-output", action="store_true",
                    help="skip writing the output txt (benchmarking)")
+    p.add_argument("--engine", type=str, default="single",
+                   choices=["single", "dp", "spatial", "halo"],
+                   help="sharding strategy: single device, event-batch data "
+                        "parallel, GSPMD spatial tiling, or explicit "
+                        "halo-exchange tiling (parallel/)")
     p.add_argument("--devices", type=int, default=0,
-                   help="shard the event batch over this many devices "
-                        "(0 = single device)")
+                   help="number of devices for the selected engine "
+                        "(0 = all visible; with --engine single, >1 "
+                        "implies --engine dp for back-compat)")
+    p.add_argument("--backend", type=str, default="auto",
+                   choices=["auto", "pallas", "dense", "perevent"],
+                   help="compute formulation: auto = Pallas kernels when "
+                        "the geometry fits their VMEM budget, else the XLA "
+                        "dense path; perevent = gather-based reference "
+                        "formulation")
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed (multi-host) before "
+                        "any device use; coordinator/process env per "
+                        "JAX_COORDINATOR_ADDRESS etc.")
     return p
+
+
+def make_engine(cfg: FlowConfig, engine: str, devices: int):
+    """Instantiate the selected engine (every shipped strategy reachable)."""
+    ndev = devices if devices > 0 else None
+    if engine == "dp" or (engine == "single" and devices > 1):
+        from farms_tpu.parallel.dp import ShardedFlowEngine
+        return ShardedFlowEngine(cfg, num_devices=ndev)
+    if engine == "spatial":
+        from farms_tpu.parallel.tiling import SpatialFlowEngine
+        return SpatialFlowEngine(cfg, num_devices=ndev)
+    if engine == "halo":
+        from farms_tpu.parallel.halo import HaloFlowEngine
+        return HaloFlowEngine(cfg, num_devices=ndev)
+    from farms_tpu.pipeline.engine import FlowEngine
+    return FlowEngine(cfg)
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    serial = args.SERIAL == 1
+
+    if args.multihost:
+        from farms_tpu.parallel.multihost import init_distributed
+        init_distributed()
+
+    backend = {"auto": (True, None), "pallas": (True, True),
+               "dense": (True, False), "perevent": (False, None)}
+    use_dense, use_pallas = backend[args.backend]
 
     cfg = FlowConfig(
         width=args.width,
@@ -72,8 +127,10 @@ def main(argv=None) -> int:
         window_jump=args.window_jump,
         max_window=args.max_window,
         kill_old_flow_time_us=args.kill_old_flow_us,
-        chunk_size=1 if args.SERIAL == 1 else args.chunk_size,
+        chunk_size=1 if serial else args.chunk_size,
         steps_per_scan=args.steps_per_scan,
+        use_dense=use_dense,
+        use_pallas=use_pallas,
         replicate_y_clamp_quirk=args.y_clamp_quirk,
     )
 
@@ -85,25 +142,31 @@ def main(argv=None) -> int:
         print("Unable to open file")  # vFlow.cpp:802
         return 1
     print(f"First time = {int(ev.t[0])}")
-    print("Processing events ")
 
-    if args.devices > 1:
-        from farms_tpu.parallel.dp import ShardedFlowEngine
-        engine = ShardedFlowEngine(cfg, num_devices=args.devices)
-    else:
-        from farms_tpu.pipeline.engine import FlowEngine
-        engine = FlowEngine(cfg)
-
-    t_start = time.perf_counter()
-    out = engine.process(ev)
-    duration_us = int((time.perf_counter() - t_start) * 1e6)
-
-    print()
-    print("Done processing!")
-    if not args.no_output:
+    if serial:
+        # reference serial mode (main.cpp:159-161, vFlow.cpp:465-826)
+        print("Running serially ")
+        from farms_tpu.pipeline.serial import SerialFlowEngine
+        engine = SerialFlowEngine(cfg)
+        print("Processing events ")
+        out, duration_us = engine.run(ev)
         print()
-        print("Writing output file.")
-        write_flow_txt(out, args.filename)
+        print("Done processing!")
+        # no output file in serial mode (writes commented out in the
+        # reference, vFlow.cpp:488-489, 730-737)
+    else:
+        print("Running batch ")
+        engine = make_engine(cfg, args.engine, args.devices)
+        print("Processing events ")
+        t_start = time.perf_counter()
+        out = engine.process(ev)
+        duration_us = int((time.perf_counter() - t_start) * 1e6)
+        print()
+        print("Done processing!")
+        if not args.no_output:
+            print()
+            print("Writing output file.")
+            write_flow_txt(out, args.filename)
 
     duration_sec = duration_us / 1e6
     n = len(ev)

@@ -64,9 +64,10 @@ class FlowConfig:
     use_dense: bool = True
 
     # Fused Pallas kernels for the dense path's two hot stages
-    # (ops/pallas/kernels.py). None = auto: use them whenever the sensor
-    # fits the kernels' single-block VMEM budget. False forces the XLA
-    # dense formulation; True forces Pallas (errors if unsupported).
+    # (ops/pallas/kernels.py). None = auto: use them whenever the derived
+    # per-program VMEM estimate fits the 16 MB budget (true for all
+    # BASELINE geometries; the kernels are gridded over row bands). False
+    # forces the XLA dense formulation; True forces Pallas.
     use_pallas: bool | None = None
 
     # --- quirk toggles (reference defects catalogued in SURVEY.md SS2) ---

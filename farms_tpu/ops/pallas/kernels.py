@@ -11,24 +11,33 @@ HBM-materialized (W, H) temporaries.
 
 Design notes (TPU-first):
 
+* Both kernels are *gridded over row bands* and stream their stencil
+  support through VMEM with explicit DMA: the surfaces / integral image
+  stay in HBM (memory_space=ANY) and each program async-copies exactly the
+  `band + halo` rows it needs into a VMEM scratch buffer. Nothing is ever
+  whole-sensor resident, so the kernels support arbitrary sensor
+  geometries (320x320 through 1280x720 and beyond) - the former
+  single-block formulation capped out at ~200K cells of VMEM.
+
 * Local flow: per-candidate statistics are *recomputed* cell by cell
   instead of precomputing the (2R+1)^2 per-offset maps. The recompute is
-  pure VPU work (~20 ops per cell) and keeps peak VMEM at ~a dozen (W, H)
-  f32 arrays; materializing the per-offset maps would need 25 x 10 maps
-  (> VMEM). Candidates fold into a running "best" via strict-< selects,
-  which reproduces the reference's first-min scan order.
+  pure VPU work (~20 ops per cell) and keeps peak VMEM at a handful of
+  band-height arrays; materializing the per-offset maps would need
+  25 x 10 maps (> VMEM at any useful band height).
 
-* Aperture: the clamp-padded integral image is built directly on the MXU:
-  PI = Ax @ F @ By^T, where Ax[i, w] = [w < clip(i - M, 0, W)] is a clamped
-  step matrix (and By the same for y, honoring the y-clamped-by-width quirk
-  toggle). One matmul pair per field replaces XLA's multi-pass cumsum plus
-  44 edge-padded corner arrays; every scale's box sum is then 4 static
-  slices of the VMEM-resident PI. The 0/1 gate field makes the count path
-  exact on the MXU (bf16x3 decomposition of 0/1 values is lossless).
+* Aperture: the clamp-padded integral image PI is built by XLA (f32
+  cumsum + edge-mode pad baking in the reference's window clamping,
+  including the y-clamped-by-width quirk toggle) - bit-identical to the
+  dense path's integral - and lives in HBM. The Pallas kernel then DMAs
+  a (4, band+2M+2, YP) slab per program and evaluates every scale's box
+  sum as 4 static vector slices of the slab, folding scales into a
+  running first-max winner. This replaces the dense path's 44 HBM-round-
+  tripped corner arrays per chunk with one streamed read of PI.
 
-Both kernels are single-block (whole sensor in VMEM) and are guarded by
-`*_supported(cfg)`; larger sensors fall back to the XLA dense path. On CPU
-(tests / forced host platform) the kernels run in interpreter mode.
+On CPU (tests / forced host platform) the kernels run in interpreter mode.
+`*_supported(cfg)` gates derive a per-program VMEM estimate (scratch +
+measured Mosaic temporary footprint) and compare it against the 16 MB
+VMEM budget; geometries that exceed it fall back to the XLA dense path.
 """
 from __future__ import annotations
 
@@ -36,7 +45,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -47,10 +55,8 @@ from farms_tpu.config import FlowConfig
 _WRAP = float(2.0 ** 32)
 _HALF_WRAP = float(2.0 ** 31)
 
-# single-block VMEM budget: padded sensor area in cells. 320x320 (the
-# reference default, main.cpp:21-22) fits comfortably; 640x480 does not.
-_MAX_CELLS_LOCAL = 200_000
-_MAX_CELLS_APERTURE = 200_000
+# per-core VMEM is ~16 MB; leave headroom for Mosaic's own buffers
+_VMEM_BUDGET = 13 * 1024 * 1024
 
 
 def _interpret() -> bool:
@@ -61,30 +67,71 @@ def _rup8(x: int) -> int:
     return -(-x // 8) * 8
 
 
-def local_flow_supported(cfg: FlowConfig) -> bool:
+def _rup128(x: int) -> int:
+    """DMA'd slabs must span a lane-aligned (128) extent."""
+    return -(-x // 128) * 128
+
+
+def _tile_rows(cfg: FlowConfig) -> int:
+    """Row-band height per program: band temporaries must fit VMEM."""
+    return 16 if cfg.height <= 512 else 8
+
+
+def _local_vmem_bytes(cfg: FlowConfig, tr: int) -> int:
+    """Per-program VMEM estimate for the local-flow kernel.
+
+    Scratch: two int32 (band+halo, H+2R) surface slabs. Temporaries:
+    Mosaic stack-allocates materialized values with partial reuse;
+    measured ~110 MB for a whole-sensor 320x320/k=3 block, i.e. ~29
+    live (rows, H) f32 arrays per k*k window cell. Outputs: 4 blocked
+    (tr, H) buffers, double-buffered by the pipeline.
+    """
     R = cfg.support_radius
-    return (cfg.width + 2 * R) * (cfg.height + 2 * R) <= _MAX_CELLS_LOCAL
+    bh = tr + _rup8(2 * R)
+    scratch = 2 * bh * (cfg.height + 2 * R) * 4
+    temps = 29 * cfg.filter_size ** 2 * tr * cfg.height * 4
+    outs = 2 * 4 * tr * cfg.height * 4
+    return scratch + temps + outs
+
+
+def _aperture_vmem_bytes(cfg: FlowConfig, tr: int) -> int:
+    """Per-program VMEM estimate for the scales kernel.
+
+    Scratch: the (4, band+2M+2, YP) f32 PI slab. Temporaries: per scale,
+    16 corner slices + ~14 arithmetic/fold arrays of (tr, H) f32.
+    """
+    M = cfg.max_window
+    bh = tr + _rup8(2 * M + 2)
+    yp = cfg.height + 2 * M + 1
+    scratch = 4 * bh * yp * 4
+    temps = 30 * cfg.num_scales * tr * cfg.height * 4
+    ins_outs = 2 * 5 * tr * cfg.height * 4
+    return scratch + temps + ins_outs
+
+
+def local_flow_supported(cfg: FlowConfig) -> bool:
+    return _local_vmem_bytes(cfg, _tile_rows(cfg)) <= _VMEM_BUDGET
 
 
 def aperture_supported(cfg: FlowConfig) -> bool:
-    M = cfg.max_window
-    return (cfg.width + 2 * M + 1) * (cfg.height + 2 * M + 1) \
-        <= _MAX_CELLS_APERTURE * 5
+    return _aperture_vmem_bytes(cfg, _tile_rows(cfg)) <= _VMEM_BUDGET
 
 
 # --------------------------------------------------------------------------
 # local plane-fit flow
 # --------------------------------------------------------------------------
 
-def _local_flow_kernel(tq_ref, tp_ref,
+def _local_flow_kernel(tq_hbm, tp_hbm,
                        acc_ref, a_ref, b_ref, dtdp_ref,
+                       bq_ref, bp_ref, sem,
                        *, cfg: FlowConfig, tr: int):
     """One program computes a `tr`-row band of the sensor.
 
-    Inputs are the whole padded surfaces resident in VMEM (constant block);
-    the band's stencil reads are dynamic-row/static-lane slices, so VMEM
-    temporaries are band-sized - Mosaic allocates every materialized value
-    on a stack without liveness reuse, and whole-sensor temporaries
+    The padded surfaces stay in HBM; the program DMAs its
+    `tr + rup8(2R)`-row slab into VMEM scratch, then evaluates the
+    9-candidate stencil as static vector slices of the slab. VMEM
+    temporaries are band-sized - Mosaic allocates every materialized
+    value on a stack with limited reuse, and whole-sensor temporaries
     overflow the 16 MB VMEM (measured: ~110 MB for 320x320 single-block).
     """
     W, H = cfg.width, cfg.height
@@ -93,13 +140,18 @@ def _local_flow_kernel(tq_ref, tp_ref,
     k = cfg.filter_size
     n = jnp.float32(k * k)
     row0 = pl.program_id(0) * tr
-
-    # one aligned band load per input; stencil reads are then static
-    # slices of the loaded vectors (Mosaic requires dynamic sublane
-    # starts to be 8-aligned, which row0 + R + ox is not)
     bh = tr + _rup8(2 * R)
-    band_q = tq_ref[pl.ds(row0, bh), :]
-    band_p = tp_ref[pl.ds(row0, bh), :]
+
+    cpq = pltpu.make_async_copy(tq_hbm.at[pl.ds(row0, bh), :], bq_ref,
+                                sem.at[0])
+    cpp = pltpu.make_async_copy(tp_hbm.at[pl.ds(row0, bh), :], bp_ref,
+                                sem.at[1])
+    cpq.start()
+    cpp.start()
+    cpq.wait()
+    cpp.wait()
+    band_q = bq_ref[:]
+    band_p = bp_ref[:]
 
     t_c = band_p[R:R + tr, R:R + H]                    # i32 center stamps
     px = jax.lax.broadcasted_iota(jnp.int32, (tr, H), 0) + row0
@@ -221,11 +273,6 @@ def _local_flow_kernel(tq_ref, tp_ref,
     dtdp_ref[:] = b_dtdp
 
 
-def _tile_rows(cfg: FlowConfig) -> int:
-    """Row-band height per program: band temporaries must fit VMEM."""
-    return 16 if cfg.height <= 512 else 8
-
-
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def local_flow_pallas(t_pre, t_post, cfg: FlowConfig):
     """Pallas local plane-fit flow; same contract as dense_local_flow
@@ -234,9 +281,11 @@ def local_flow_pallas(t_pre, t_post, cfg: FlowConfig):
     R = cfg.support_radius
     tr = _tile_rows(cfg)
     grid = pl.cdiv(W, tr)
+    bh = tr + _rup8(2 * R)
     # bottom padding covers the stencil halo, the ragged last band, and
-    # the 8-row alignment of the per-program band load
-    pad = ((R, grid * tr + _rup8(2 * R) - R - W), (R, R))
+    # the 8-row alignment of the per-program slab DMA; lanes pad to 128
+    hp = _rup128(H + 2 * R)
+    pad = ((R, grid * tr + _rup8(2 * R) - R - W), (R, hp - R - H))
     args = (
         jnp.pad(t_pre, pad),
         jnp.pad(t_post, pad),
@@ -252,9 +301,14 @@ def local_flow_pallas(t_pre, t_post, cfg: FlowConfig):
         kern,
         grid=(grid,),
         out_shape=out_shape,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
         out_specs=[pl.BlockSpec((tr, H), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)] * 4,
+        scratch_shapes=[
+            pltpu.VMEM((bh, hp), jnp.int32),
+            pltpu.VMEM((bh, hp), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
         interpret=_interpret(),
     )(*args)
 
@@ -276,58 +330,26 @@ def local_flow_pallas(t_pre, t_post, cfg: FlowConfig):
 # multi-scale aperture correction
 # --------------------------------------------------------------------------
 
-@functools.lru_cache(maxsize=8)
-def _step_matrices(cfg: FlowConfig):
-    """Clamped step matrices realizing the padded integral image.
+def _scales_kernel(pi_hbm, vx_ref, vy_ref, tvx_ref, tvy_ref, scale_ref,
+                   band_ref, sem, *, cfg: FlowConfig, tr: int):
+    """One program scans all scales for a `tr`-row band.
 
-    PI[f] = Ax @ F[f] @ By^T gives, for every padded position (i, j),
-    integ[clip(i - M, 0, W), clip(j - M, 0, y_clip)] - i.e. the prefix-sum
-    lookup every corner read of every scale needs, clamping included
-    (the y clamp honors cfg.replicate_y_clamp_quirk, vFlow.cpp:998-1000).
+    The clamp-padded integral image stays in HBM; the program DMAs its
+    (4, tr + rup8(2M+2), YP) slab into VMEM scratch, then every scale's
+    box sum is 4 static vector slices of the slab (see local kernel for
+    why bands: Mosaic stack-allocates every materialized temporary).
     """
     W, H, M = cfg.width, cfg.height, cfg.max_window
-    XP, YP = W + 2 * M + 1, H + 2 * M + 1
-    y_hi = (cfg.width if cfg.replicate_y_clamp_quirk else cfg.height) - 1
-    y_clip = min(y_hi + 1, H)
-    ax = (np.arange(W)[None, :]
-          < np.clip(np.arange(XP) - M, 0, W)[:, None]).astype(np.float32)
-    by = (np.arange(H)[None, :]
-          < np.clip(np.arange(YP) - M, 0, y_clip)[:, None]).astype(np.float32)
-    return jnp.asarray(ax), jnp.asarray(by)
+    row0 = pl.program_id(0) * tr
+    bh = tr + _rup8(2 * M + 2)
 
-
-def _integral_kernel(len_ref, vx_ref, vy_ref, ax_ref, by_ref, pi_ref):
-    """Builds the 4-field clamp-padded integral image on the MXU."""
-    fl = len_ref[:]
+    cp = pltpu.make_async_copy(pi_hbm.at[:, pl.ds(row0, bh), :], band_ref,
+                               sem)
+    cp.start()
     fvx = vx_ref[:]
     fvy = vy_ref[:]
-    g = (fl > 0).astype(jnp.float32)
-    fields = (g, fl * g, fvx * g, fvy * g)
-    ax = ax_ref[:]
-    byt = by_ref[:].T
-    hi = jax.lax.Precision.HIGHEST   # full-f32 MXU passes: the integral
-    # magnitudes reach W*H*len and box sums difference them, so one-pass
-    # bf16 (the Mosaic default) loses ~4e-3 relative - enough to flip
-    # near-tie scale winners
-    for fi, fld in enumerate(fields):
-        t1 = jnp.dot(ax, fld, preferred_element_type=jnp.float32,
-                     precision=hi)
-        pi_ref[fi] = jnp.dot(t1, byt, preferred_element_type=jnp.float32,
-                             precision=hi)
-
-
-def _scales_kernel(pi_ref, vx_ref, vy_ref, tvx_ref, tvy_ref, scale_ref,
-                   *, cfg: FlowConfig, tr: int):
-    """One program scans all scales for a `tr`-row band (see local kernel
-    for why bands: Mosaic stack-allocates every materialized temporary)."""
-    W, H, M = cfg.width, cfg.height, cfg.max_window
-    row0 = pl.program_id(0) * tr
-    fvx = vx_ref[pl.ds(row0, tr), :]
-    fvy = vy_ref[pl.ds(row0, tr), :]
-
-    # aligned band load per field; corners become static vector slices
-    bh = tr + _rup8(2 * M + 2)
-    bands = [pi_ref[fi, pl.ds(row0, bh), :] for fi in range(4)]
+    cp.wait()
+    bands = [band_ref[fi] for fi in range(4)]
 
     def corner(fi, sx, sy):
         return bands[fi][M + sx:M + sx + tr, M + sy:M + sy + H]
@@ -361,44 +383,59 @@ def _scales_kernel(pi_ref, vx_ref, vy_ref, tvx_ref, tvy_ref, scale_ref,
 def aperture_pallas(flow_len, flow_vx, flow_vy, cfg: FlowConfig):
     """Pallas multi-scale aperture pooling; same contract as dense_aperture.
 
-    Two kernels: the integral image (MXU matmuls, single block), then the
-    per-scale box sums + first-max winner over row bands. The freshness
-    (KILL_OLD_FLOW_TIME) gate is applied upstream by state.kill_stale_flow
-    exactly as for the jnp paths.
+    XLA builds the clamp-padded integral image PI (f32 cumsum, bitwise
+    identical to the dense path's, with the reference's window clamping -
+    including the y-clamped-by-width quirk, vFlow.cpp:998-1000 - baked in
+    via an edge-mode pad); the Pallas kernel then streams PI through VMEM
+    in row slabs and folds the per-scale box sums into a first-max winner.
+    The freshness (KILL_OLD_FLOW_TIME) gate is applied upstream by
+    state.kill_stale_flow exactly as for the jnp paths.
     """
     W, H, M = cfg.width, cfg.height, cfg.max_window
     XP, YP = W + 2 * M + 1, H + 2 * M + 1
-    ax, by = _step_matrices(cfg)
-    interp = _interpret()
-    pi = pl.pallas_call(
-        _integral_kernel,
-        out_shape=jax.ShapeDtypeStruct((4, XP, YP), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        interpret=interp,
-    )(flow_len, flow_vx, flow_vy, ax, by)
+
+    # PI[f, i, j] = integ[f, clip(i - M, 0, W), clip(j - M, 0, y_clip)]:
+    # the prefix-sum lookup every corner read of every scale needs,
+    # clamping included
+    gate = (flow_len > 0).astype(jnp.float32)
+    fields = jnp.stack(
+        [gate, flow_len * gate, flow_vx * gate, flow_vy * gate], 0)
+    integ = jnp.pad(jnp.cumsum(jnp.cumsum(fields, axis=1), axis=2),
+                    ((0, 0), (1, 0), (1, 0)))            # [4, W+1, H+1]
+    y_hi = (W if cfg.replicate_y_clamp_quirk else H) - 1
+    y_clip = min(y_hi + 1, H)
+    integ = integ[:, :, :y_clip + 1]
 
     tr = _tile_rows(cfg)
     grid = pl.cdiv(W, tr)
+    # the (aligned, possibly ragged) last slab reads PI rows past XP-1
+    x_extra = max(0, grid * tr + _rup8(2 * M + 2) - XP)
+    ypp = _rup128(YP)
+    pi = jnp.pad(integ,
+                 ((0, 0), (M, M + x_extra), (M, ypp - M - (y_clip + 1))),
+                 mode="edge")                       # [4, XP+x_extra, ypp]
+
+    if grid * tr > W:
+        flow_vx = jnp.pad(flow_vx, ((0, grid * tr - W), (0, 0)))
+        flow_vy = jnp.pad(flow_vy, ((0, grid * tr - W), (0, 0)))
     out_shape = [
         jax.ShapeDtypeStruct((W, H), jnp.float32),   # true_vx
         jax.ShapeDtypeStruct((W, H), jnp.float32),   # true_vy
         jax.ShapeDtypeStruct((W, H), jnp.int32),     # scale
     ]
-    # the (aligned, possibly ragged) last band reads PI rows past XP-1
-    extra = grid * tr + _rup8(2 * M + 2) - XP
-    if extra > 0:
-        pi = jnp.pad(pi, ((0, 0), (0, extra), (0, 0)), mode="edge")
-    if grid * tr > W:
-        flow_vx = jnp.pad(flow_vx, ((0, grid * tr - W), (0, 0)))
-        flow_vy = jnp.pad(flow_vy, ((0, grid * tr - W), (0, 0)))
+    bh = tr + _rup8(2 * M + 2)
     kern = functools.partial(_scales_kernel, cfg=cfg, tr=tr)
+    row_spec = pl.BlockSpec((tr, H), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
     return tuple(pl.pallas_call(
         kern,
         grid=(grid,),
         out_shape=out_shape,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
-        out_specs=[pl.BlockSpec((tr, H), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM)] * 3,
-        interpret=interp,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY), row_spec, row_spec],
+        out_specs=[row_spec] * 3,
+        scratch_shapes=[
+            pltpu.VMEM((4, bh, ypp), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=_interpret(),
     )(pi, flow_vx, flow_vy))

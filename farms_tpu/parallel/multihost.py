@@ -20,7 +20,7 @@ import numpy as np
 from jax.sharding import Mesh
 
 
-def initialize(coordinator_address: str | None = None,
+def init_distributed(coordinator_address: str | None = None,
                num_processes: int | None = None,
                process_id: int | None = None) -> None:
     """Initialize multi-host JAX. No-op if already initialized or single."""

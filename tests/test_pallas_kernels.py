@@ -1,10 +1,14 @@
 """Pallas kernels vs the XLA dense formulation (interpreter mode on CPU).
 
 The kernels (ops/pallas/kernels.py) implement the exact same math as
-ops/dense_flow.py - the local plane fit agrees up to FMA-reordering; the
-aperture stage computes its integral image with MXU matmuls instead of
-cumsum, so box sums round differently and near-tie scale winners may flip
-on a tiny fraction of pixels.
+ops/dense_flow.py - the local plane fit agrees up to FMA-reordering, and
+the aperture stage consumes the same f32 cumsum integral image as the
+dense path, so it should agree exactly up to fusion differences. The
+kernels are gridded over row bands with explicit HBM->VMEM slab DMA, so
+one geometry class per banding regime is covered: small (48x40), tall
+sensors past the tr=16->8 switch (64x528), and a >200K-cell geometry
+(640x480, the BASELINE config-3 sensor) where the former single-block
+kernels used to fall back to XLA.
 """
 import numpy as np
 import jax.numpy as jnp
@@ -112,6 +116,48 @@ def test_aperture_matches_dense(quirk):
         # integral-image rounding may flip near-tie scale winners on a
         # tiny fraction of pixels
         assert mismatch <= 0.005 * total, f"{name}: {mismatch}/{total}"
+
+
+def _both_stages_match(cfg, seed, frac=5e-4):
+    """Run both kernels vs dense at cfg's geometry. `frac` bounds the
+    knife-edge pixels where FMA-contraction differences between the XLA
+    and interpreter evaluations flip an accept/select decision."""
+    rng = np.random.default_rng(seed)
+    W, H = cfg.width, cfg.height
+    touched = rng.random((W, H)) < 0.3
+    t_pre = jnp.asarray(
+        np.where(touched, rng.integers(1, 5_000_000, (W, H)) + 1, 0),
+        jnp.int32)
+    t_post = t_pre
+    ref = dense_local_flow(t_pre, t_post, cfg)
+    out = pk.local_flow_pallas(t_pre, t_post, cfg)
+    _assert_mostly_equal(ref, out, f"local {W}x{H}", frac=frac)
+
+    mask = rng.random((W, H)) < 0.3
+    fl = jnp.asarray(rng.random((W, H)) * mask, jnp.float32)
+    fvx = jnp.asarray(rng.standard_normal((W, H)), jnp.float32) * (fl > 0)
+    fvy = jnp.asarray(rng.standard_normal((W, H)), jnp.float32) * (fl > 0)
+    refa = dense_aperture(fl, fvx, fvy, cfg)
+    gota = pk.aperture_pallas(fl, fvx, fvy, cfg)
+    for name, r, o in zip(["tvx", "tvy", "scale"], refa, gota):
+        bad = (~np.isclose(np.asarray(r, np.float64),
+                           np.asarray(o, np.float64),
+                           rtol=1e-4, atol=1e-5)).sum()
+        assert bad <= frac * r.size, f"apert {W}x{H} {name}: {bad}/{r.size}"
+
+
+def test_tall_sensor_tr8_band():
+    """Height past 512 switches the kernels to 8-row bands."""
+    _both_stages_match(FlowConfig(width=64, height=528), seed=5)
+
+
+def test_large_sensor_640x480():
+    """>200K cells (BASELINE config 3): the gridded slab-DMA path at a
+    geometry the former single-block kernels could not run. Slow on CPU
+    (the dense reference alone is ~100 s) but this is the one equivalence
+    check standing between the small-geometry tests and the real-chip
+    BASELINE runs."""
+    _both_stages_match(FlowConfig(width=640, height=480), seed=6)
 
 
 def test_micro_step_pallas_vs_dense():
