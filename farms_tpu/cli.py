@@ -70,10 +70,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-output", action="store_true",
                    help="skip writing the output txt (benchmarking)")
     p.add_argument("--engine", type=str, default="single",
-                   choices=["single", "dp", "spatial", "halo"],
+                   choices=["single", "dp", "spatial", "halo", "multihost"],
                    help="sharding strategy: single device, event-batch data "
-                        "parallel, GSPMD spatial tiling, or explicit "
-                        "halo-exchange tiling (parallel/)")
+                        "parallel, GSPMD spatial tiling, explicit "
+                        "halo-exchange tiling, or the global multi-host "
+                        "('tx','ev') mesh (parallel/)")
     p.add_argument("--devices", type=int, default=0,
                    help="number of devices for the selected engine "
                         "(0 = all visible; with --engine single, >1 "
@@ -103,6 +104,9 @@ def make_engine(cfg: FlowConfig, engine: str, devices: int):
     if engine == "halo":
         from farms_tpu.parallel.halo import HaloFlowEngine
         return HaloFlowEngine(cfg, num_devices=ndev)
+    if engine == "multihost":
+        from farms_tpu.parallel.multihost import MultiHostFlowEngine
+        return MultiHostFlowEngine(cfg)
     from farms_tpu.pipeline.engine import FlowEngine
     return FlowEngine(cfg)
 

@@ -5,19 +5,34 @@ scaling here follows the standard JAX recipe: every host runs the same
 program, `jax.distributed.initialize` wires the hosts into one system, and
 the global mesh spans all devices - intra-slice traffic (halo exchanges,
 event all-gathers, psum of pooled partials) rides ICI while host-level
-stream distribution rides DCN.
+coordination rides DCN.
 
-Stream distribution model: the event stream is chronologically partitioned
-across hosts in coarse segments; each host feeds its segment into the
-globally-sharded engine via `jax.make_array_from_process_local_data`, and
-the carried `SurfaceState` (replicated or spatially sharded over the global
-mesh) keeps the surface timeline consistent.
+Event-ordering model: **replicated chronological feed**. The surface
+timeline is global, strictly ordered state - event i's flow depends on the
+surfaces written by all events j < i (vFlow.cpp:223-414) - so the stream
+CANNOT be chronologically segmented across hosts (two hosts feeding
+different time segments into one shared timeline is not event-serial; an
+earlier draft of this module sketched that model and it was wrong). Instead
+every process reads the same chronological chunk stream, and each process
+materializes only the lanes its local devices own: micro-batch lanes shard
+over the mesh's 'ev' axis and surfaces shard over 'tx', both via
+`jax.make_array_from_callback`, so per-process HBM holds 1/(tx*ev) of the
+surface state and 1/ev of each micro-batch. Host-side file reading is
+cheap relative to compute (native mmap parser, utils/nativeio.py) and can
+also be staged by rank 0 + broadcast if the filesystem is not shared.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
+import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from farms_tpu.config import FlowConfig
+from farms_tpu.pipeline.engine import FlowEngine, micro_step
+from farms_tpu.state.surfaces import SurfaceState
 
 
 def init_distributed(coordinator_address: str | None = None,
@@ -45,7 +60,7 @@ def make_global_mesh(tx: int | None = None, ev: int | None = None) -> Mesh:
 
     'tx' shards the sensor plane (surfaces, dense stencil maps); 'ev'
     shards event micro-batches. Defaults: tx = devices per host (ICI-local
-    tiles), ev = number of hosts.
+    tiles, so halo exchange rides ICI), ev = number of hosts.
     """
     devs = np.array(jax.devices())
     n = devs.size
@@ -60,8 +75,81 @@ def make_global_mesh(tx: int | None = None, ev: int | None = None) -> Mesh:
     return Mesh(devs.reshape(tx, ev), axis_names=("tx", "ev"))
 
 
-def shard_stream_segments(n_events: int) -> tuple[int, int]:
-    """This host's [start, end) slice of a chronologically-split stream."""
-    pc, pid = jax.process_count(), jax.process_index()
-    per = -(-n_events // pc)
-    return pid * per, min(n_events, (pid + 1) * per)
+class MultiHostFlowEngine(FlowEngine):
+    """FlowEngine over a global multi-process ('tx','ev') mesh.
+
+    Every participating process constructs the engine with the same config
+    and calls `process()` with the SAME chronological event stream
+    (replicated feed, see module docstring). Surfaces live sharded
+    P('tx', None) across all hosts' devices; each packed micro-batch is
+    assembled as a global array with lanes sharded P('ev') - each process
+    uploads only its local devices' lane slices. Outputs are produced
+    fully replicated (one cross-host all-gather per scan call) so every
+    process returns the complete FlowOutput.
+
+    Degenerates cleanly to a single-process engine when
+    jax.process_count() == 1, which is how the dryrun and the single-host
+    tests exercise it.
+    """
+
+    def __init__(self, cfg: FlowConfig, mesh: Mesh | None = None):
+        if not cfg.use_dense:
+            raise ValueError(
+                "multi-host sharding requires the dense compute path "
+                "(use_dense=True): its stencils shard over 'tx'")
+        super().__init__(cfg)
+        self.mesh = mesh if mesh is not None else make_global_mesh()
+        tx = self.mesh.shape["tx"]
+        ev = self.mesh.shape["ev"]
+        if cfg.width % tx != 0:
+            raise ValueError(
+                f"sensor width {cfg.width} not divisible by tx={tx}")
+        if cfg.chunk_size % ev != 0:
+            raise ValueError(
+                f"chunk_size {cfg.chunk_size} not divisible by ev={ev}")
+
+        surf = NamedSharding(self.mesh, P("tx", None))
+        repl = NamedSharding(self.mesh, P())
+        self._state_shardings = SurfaceState(surf, surf, surf, surf, surf,
+                                             repl)
+        self._batch_sharding = NamedSharding(self.mesh, P(None, None, "ev"))
+        self._repl = repl
+        self.state = self._put_state(self.state)
+
+        @functools.partial(
+            jax.jit,
+            static_argnames=("cfg",),
+            donate_argnums=(0,),
+            # outputs replicated: every process gets the full [steps,7,m]
+            out_shardings=(self._state_shardings, repl),
+        )
+        def _scan(state, chunk, cfg):
+            def body(st, batch):
+                return micro_step(st, batch, cfg)
+            return jax.lax.scan(body, state, chunk)
+
+        self._scan = _scan
+
+    # ---- global-array plumbing ------------------------------------------
+    def _put_state(self, state: SurfaceState) -> SurfaceState:
+        """Host pytree -> globally-sharded device pytree.
+
+        Every process holds the full host arrays (they are identical by
+        construction), so each shard is sliced locally - no DCN traffic.
+        """
+        def put(arr, sharding):
+            arr = np.asarray(arr)
+            return jax.make_array_from_callback(
+                arr.shape, sharding, lambda idx: arr[idx])
+        return jax.tree.map(put, state, self._state_shardings)
+
+    def reset(self):
+        from farms_tpu.state.surfaces import init_state
+        self.state = self._put_state(init_state(self.cfg))
+        self._t0 = None
+
+    def _dispatch(self, chunk):
+        chunk = np.asarray(chunk)
+        global_chunk = jax.make_array_from_callback(
+            chunk.shape, self._batch_sharding, lambda idx: chunk[idx])
+        return self._scan(self.state, global_chunk, self.cfg)

@@ -1,0 +1,62 @@
+"""Worker process for the 2-process multi-host test.
+
+Launched by tests/test_multihost.py with a scrubbed environment
+(JAX_PLATFORMS=cpu, no axon sitecustomize). Each process owns 2 virtual
+CPU devices; the two processes form one 4-device system wired through
+jax.distributed (coordination over localhost, collectives over gloo).
+
+Usage: python _multihost_worker.py <port> <process_id> <out.npz>
+"""
+import sys
+
+
+def main() -> int:
+    port, pid, out_path = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+
+    import jax
+    jax.config.update("jax_num_cpu_devices", 2)
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.distributed.initialize(
+        coordinator_address=f"localhost:{port}",
+        num_processes=2,
+        process_id=pid,
+        cluster_detection_method="deactivate",
+    )
+    assert jax.process_count() == 2, jax.process_count()
+    assert len(jax.devices()) == 4, jax.devices()
+
+    import numpy as np
+    from farms_tpu.config import FlowConfig
+    from farms_tpu.events.io import EventBatch, synthetic_translating_bar
+    from farms_tpu.parallel.multihost import MultiHostFlowEngine, make_global_mesh
+
+    cfg = FlowConfig(width=64, height=48, chunk_size=64, steps_per_scan=2,
+                     max_window=10, window_jump=5, use_pallas=False)
+    mesh = make_global_mesh(tx=2, ev=2)
+    eng = MultiHostFlowEngine(cfg, mesh=mesh)
+
+    # the replicated chronological feed: every process loads the same stream;
+    # it is processed in two calls to also cover carried global state
+    full = synthetic_translating_bar(width=64, height=48, bar_len=20,
+                                     speed_px_per_sec=2000.0,
+                                     duration_us=20000)
+    half = len(full) // 2
+    ev = EventBatch(full.x[:half], full.y[:half], full.t[:half],
+                    full.pol[:half])
+    ev2 = EventBatch(full.x[half:], full.y[half:], full.t[half:],
+                     full.pol[half:])
+    out = eng.process(ev)
+    out2 = eng.process(ev2)
+
+    np.savez(out_path,
+             r_true=np.concatenate([out.r_true, out2.r_true]),
+             theta_true=np.concatenate([out.theta_true, out2.theta_true]),
+             vx=np.concatenate([out.vx, out2.vx]),
+             vy=np.concatenate([out.vy, out2.vy]),
+             r_local=np.concatenate([out.r_local, out2.r_local]),
+             scale=np.concatenate([out.scale, out2.scale]))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,133 @@
+"""Multi-host engine tests.
+
+Two layers of evidence for parallel/multihost.py:
+
+1. In-process: MultiHostFlowEngine on the virtual 8-device CPU mesh
+   (process_count == 1, the degenerate single-host case) must match the
+   plain single-device FlowEngine bit-for-bit.
+2. Cross-process: two real OS processes, each owning 2 virtual CPU
+   devices, wired into one 4-device system via jax.distributed
+   (coordination + gloo collectives over localhost). Both processes run
+   the replicated chronological feed through a ('tx','ev') = (2,2) global
+   mesh; their outputs must agree with each other and with a
+   single-process run (VERDICT.md round-1 item 4).
+"""
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from farms_tpu.config import FlowConfig
+from farms_tpu.events.io import EventBatch, synthetic_translating_bar
+from farms_tpu.pipeline.engine import FlowEngine
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+
+
+def _worker_cfg() -> FlowConfig:
+    return FlowConfig(width=64, height=48, chunk_size=64, steps_per_scan=2,
+                      max_window=10, window_jump=5, use_pallas=False)
+
+
+def _worker_stream():
+    full = synthetic_translating_bar(width=64, height=48, bar_len=20,
+                                     speed_px_per_sec=2000.0,
+                                     duration_us=20000)
+    half = len(full) // 2
+    return (EventBatch(full.x[:half], full.y[:half], full.t[:half],
+                       full.pol[:half]),
+            EventBatch(full.x[half:], full.y[half:], full.t[half:],
+                       full.pol[half:]))
+
+
+def _reference_columns():
+    eng = FlowEngine(_worker_cfg())
+    ev, ev2 = _worker_stream()
+    out = eng.process(ev)
+    out2 = eng.process(ev2)
+    return {
+        "r_true": np.concatenate([out.r_true, out2.r_true]),
+        "theta_true": np.concatenate([out.theta_true, out2.theta_true]),
+        "vx": np.concatenate([out.vx, out2.vx]),
+        "vy": np.concatenate([out.vy, out2.vy]),
+        "r_local": np.concatenate([out.r_local, out2.r_local]),
+        "scale": np.concatenate([out.scale, out2.scale]),
+    }
+
+
+def test_multihost_engine_single_process_matches_flow_engine():
+    import jax
+    from farms_tpu.parallel.multihost import (MultiHostFlowEngine,
+                                              make_global_mesh)
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 devices")
+    mesh = make_global_mesh(tx=4, ev=len(jax.devices()) // 4)
+    eng = MultiHostFlowEngine(_worker_cfg(), mesh=mesh)
+    ev, ev2 = _worker_stream()
+    got = eng.process(ev)
+    got2 = eng.process(ev2)
+    ref = _reference_columns()
+    np.testing.assert_array_equal(
+        np.concatenate([got.r_true, got2.r_true]), ref["r_true"])
+    np.testing.assert_array_equal(
+        np.concatenate([got.vx, got2.vx]), ref["vx"])
+    np.testing.assert_array_equal(
+        np.concatenate([got.scale, got2.scale]), ref["scale"])
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _scrubbed_env() -> dict:
+    """Environment for worker processes: plain CPU jax, no axon plugin."""
+    env = dict(os.environ)
+    # drop the axon sitecustomize (it initializes a PJRT backend at
+    # interpreter start, before jax.distributed.initialize can run)
+    parts = [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+             if p and "axon" not in p]
+    env["PYTHONPATH"] = os.pathsep.join([REPO] + parts)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    return env
+
+
+def test_two_process_multihost_matches_single_process(tmp_path):
+    port = _free_port()
+    env = _scrubbed_env()
+    worker = os.path.join(HERE, "_multihost_worker.py")
+    outs = [str(tmp_path / f"proc{p}.npz") for p in (0, 1)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(port), str(p), outs[p]],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for p in (0, 1)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multi-host worker timed out")
+        logs.append(stdout.decode(errors="replace"))
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-3000:]}"
+
+    ref = _reference_columns()
+    got = [np.load(o) for o in outs]
+    for col in ("r_true", "theta_true", "vx", "vy", "r_local", "scale"):
+        # both processes see identical, complete outputs...
+        np.testing.assert_array_equal(got[0][col], got[1][col],
+                                      err_msg=f"procs disagree on {col}")
+        # ...equal to the single-process engine's
+        np.testing.assert_allclose(got[0][col], ref[col], rtol=0, atol=0,
+                                   err_msg=f"multi-host {col} != single")
