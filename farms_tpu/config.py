@@ -70,6 +70,16 @@ class FlowConfig:
     # forces the XLA dense formulation; True forces Pallas.
     use_pallas: bool | None = None
 
+    # --- internal: padded device-array geometry (sharded engines) ---
+    # Sharded engines pad the surface arrays up to a multiple of the mesh
+    # extent; the semantic sensor stays width x height (all border rules -
+    # patch in-bounds checks, aperture window clamping - use the semantic
+    # bounds, and pad cells are never written, so outputs are identical to
+    # the unpadded engine's; tests/test_tiling.py proves it). None = no
+    # padding. Set via `FlowConfig.padded_to`, not by hand.
+    padded_width: int | None = None
+    padded_height: int | None = None
+
     # --- quirk toggles (reference defects catalogued in SURVEY.md SS2) ---
     # The reference clamps the aperture window's y-range with `width`
     # instead of `height` (vFlow.cpp:998-1000, 1111-1113). Harmless for
@@ -80,6 +90,36 @@ class FlowConfig:
         object.__setattr__(
             self, "filter_size", normalize_filter_size(self.filter_size)
         )
+        if self.padded_width is not None and self.padded_width < self.width:
+            raise ValueError("padded_width < width")
+        if self.padded_height is not None and self.padded_height < self.height:
+            raise ValueError("padded_height < height")
+        if ((self.padded_width is not None or self.padded_height is not None)
+                and not self.use_dense):
+            raise ValueError(
+                "padded array geometry is only supported on the dense "
+                "compute path (the per-event gather path indexes with "
+                "semantic coordinates)")
+
+    def padded_to(self, tx: int, ty: int = 1) -> "FlowConfig":
+        """This config with array dims rounded up to multiples of (tx, ty)."""
+        pw = -(-self.width // tx) * tx
+        ph = -(-self.height // ty) * ty
+        return dataclasses.replace(
+            self,
+            padded_width=pw if pw != self.width else None,
+            padded_height=ph if ph != self.height else None,
+        )
+
+    @property
+    def array_width(self) -> int:
+        """Device-array width (>= semantic sensor width)."""
+        return self.padded_width if self.padded_width is not None else self.width
+
+    @property
+    def array_height(self) -> int:
+        return (self.padded_height if self.padded_height is not None
+                else self.height)
 
     # --- derived quantities (reference: vFlow.cpp:34-36) ---
     @property

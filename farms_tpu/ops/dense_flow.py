@@ -74,16 +74,17 @@ def dense_local_flow(t_pre, t_post, cfg: FlowConfig, *,
 
     Returns per-pixel maps (raw_vx, raw_vy, gate_valid, length, theta).
     """
-    W, H = cfg.width, cfg.height      # global sensor bounds
+    W, H = cfg.width, cfg.height      # SEMANTIC sensor bounds (border rules)
     k = cfg.filter_size
     f = cfg.f_rad
     R = cfg.support_radius
     n_cells = k * k
     rows = t_post.shape[0] - 2 * halo  # core rows this call computes
+    Ha = t_post.shape[1]               # array height (>= H when padded)
 
     t_c = t_post[halo:halo + rows, :] if halo else t_post   # center stamp1
-    px = jax.lax.broadcasted_iota(jnp.int32, (rows, H), 0) + row_offset
-    py = jax.lax.broadcasted_iota(jnp.int32, (rows, H), 1)
+    px = jax.lax.broadcasted_iota(jnp.int32, (rows, Ha), 0) + row_offset
+    py = jax.lax.broadcasted_iota(jnp.int32, (rows, Ha), 1)
 
     # ---- per-offset causal views over the support (2R+1)^2 ----
     offs = range(-R, R + 1)
@@ -177,7 +178,7 @@ def dense_local_flow(t_pre, t_post, cfg: FlowConfig, *,
     local_ok = jnp.isfinite(jnp.min(score_stack, axis=0))
 
     def select(parts, dtype=jnp.float32):
-        out = jnp.zeros((rows, H), dtype=dtype)
+        out = jnp.zeros((rows, Ha), dtype=dtype)
         for ci, part in enumerate(parts):
             out = jnp.where(best == ci, part, out)
         return out
@@ -222,10 +223,11 @@ def dense_aperture(flow_len, flow_vx, flow_vy, cfg: FlowConfig, *,
 
     Returns per-pixel maps (true_vx, true_vy, scale).
     """
-    W, H = cfg.width, cfg.height      # global sensor bounds
+    W, H = cfg.width, cfg.height      # SEMANTIC sensor bounds (clamping)
     if halo and halo < cfg.max_window + 1:
         raise ValueError(f"halo {halo} < max_window+1 {cfg.max_window + 1}")
     rows = flow_len.shape[0] - 2 * halo
+    Ha = flow_len.shape[1]             # array height (>= H when padded)
     gate = (flow_len > 0).astype(jnp.float32)
     fields = jnp.stack(
         [gate, flow_len * gate, flow_vx * gate, flow_vy * gate], 0)
@@ -234,31 +236,35 @@ def dense_aperture(flow_len, flow_vx, flow_vy, cfg: FlowConfig, *,
 
     y_hi = (W if cfg.replicate_y_clamp_quirk else H) - 1
 
-    # pre-clamp the integral's y extent to the quirk bound: indices beyond
-    # y_hi + 1 must read column y_hi + 1 (i.e. min(py+s, y_hi) + 1)
-    integ_y = integ[:, :, :min(y_hi + 2, H + 1)]
+    # pre-clamp the integral's y extent to the SEMANTIC bound: indices
+    # beyond y_hi + 1 must read column y_hi + 1 (i.e. min(py+s, y_hi) + 1);
+    # with padded arrays this slice also excludes y-pad cells outright
+    integ_y = integ[:, :, :min(y_hi + 2, Ha + 1)]
 
     def corner(sx, sy):
-        """integ[:, clip(px + sx, 0, W), clip(py + sy, 0, y_clamp)]
+        """integ[:, clip(px + sx, 0, Wa), clip(py + sy, 0, y_clamp)]
 
         In halo mode the x read is a direct slice of the extended
-        integral (no clamp needed, see docstring)."""
+        integral (no clamp needed, see docstring). x clamps use the array
+        extent: x-pad cells past the semantic border hold zero fields and
+        contribute nothing, so this equals the reference's clamp at
+        W - 1 (vFlow.cpp:998-1000)."""
         out = []
         for f_ in range(4):
             arr = integ_y[f_]
             L_x, L_y = arr.shape
             lo_y = max(0, -sy)
-            hi_y = max(0, H - 1 + sy - (L_y - 1))
+            hi_y = max(0, Ha - 1 + sy - (L_y - 1))
             if halo:
                 p = jnp.pad(arr, ((0, 0), (lo_y, hi_y)), mode="edge")
                 out.append(p[halo + sx:halo + sx + rows,
-                             lo_y + sy:lo_y + sy + H])
+                             lo_y + sy:lo_y + sy + Ha])
             else:
                 lo_x = max(0, -sx)
-                hi_x = max(0, W - 1 + sx - (L_x - 1))
+                hi_x = max(0, rows - 1 + sx - (L_x - 1))
                 p = jnp.pad(arr, ((lo_x, hi_x), (lo_y, hi_y)), mode="edge")
-                out.append(p[lo_x + sx:lo_x + sx + W,
-                             lo_y + sy:lo_y + sy + H])
+                out.append(p[lo_x + sx:lo_x + sx + rows,
+                             lo_y + sy:lo_y + sy + Ha])
         return jnp.stack(out, 0)
 
     pools = []   # per scale: (mean_vx, mean_vy)
@@ -276,13 +282,13 @@ def dense_aperture(flow_len, flow_vx, flow_vy, cfg: FlowConfig, *,
         mean_lens.append(jnp.where(has, box[1] / safe, 0.0))
         pools.append((box[2] / safe, box[3] / safe))
 
-    ml = jnp.stack(mean_lens, 0)                      # [S, rows, H]
+    ml = jnp.stack(mean_lens, 0)                      # [S, rows, Ha]
     best = jnp.argmax(ml, axis=0)                     # first strict max
     max_val = jnp.max(ml, axis=0)
 
-    tvx = jnp.zeros((rows, H), jnp.float32)
-    tvy = jnp.zeros((rows, H), jnp.float32)
-    scale = jnp.zeros((rows, H), jnp.int32)
+    tvx = jnp.zeros((rows, Ha), jnp.float32)
+    tvy = jnp.zeros((rows, Ha), jnp.float32)
+    scale = jnp.zeros((rows, Ha), jnp.int32)
     for si, s in enumerate(cfg.scales):
         hit = best == si
         tvx = jnp.where(hit, pools[si][0], tvx)

@@ -109,12 +109,20 @@ def _aperture_vmem_bytes(cfg: FlowConfig, tr: int) -> int:
     return scratch + temps + ins_outs
 
 
+def _unpadded(cfg: FlowConfig) -> bool:
+    # the kernels assume array dims == semantic sensor dims; padded
+    # (sharded-engine) geometries take the XLA dense path instead
+    return cfg.padded_width is None and cfg.padded_height is None
+
+
 def local_flow_supported(cfg: FlowConfig) -> bool:
-    return _local_vmem_bytes(cfg, _tile_rows(cfg)) <= _VMEM_BUDGET
+    return (_unpadded(cfg)
+            and _local_vmem_bytes(cfg, _tile_rows(cfg)) <= _VMEM_BUDGET)
 
 
 def aperture_supported(cfg: FlowConfig) -> bool:
-    return _aperture_vmem_bytes(cfg, _tile_rows(cfg)) <= _VMEM_BUDGET
+    return (_unpadded(cfg)
+            and _aperture_vmem_bytes(cfg, _tile_rows(cfg)) <= _VMEM_BUDGET)
 
 
 # --------------------------------------------------------------------------

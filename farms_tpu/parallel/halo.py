@@ -38,23 +38,40 @@ from farms_tpu.state.surfaces import SurfaceState, kill_stale_flow
 
 
 def exchange_halo(arr, h: int, n: int, axis_name: str = "tx"):
-    """Extend a [rows, H] shard with h rows from each ring neighbor.
+    """Extend a [rows, H] shard with h rows from each side of the ring.
 
     Returns [rows + 2h, H]; bands past the global sensor edge (device 0's
     top, device n-1's bottom) are zero-filled, which both stencil stages
     interpret as "outside the sensor" (ops/dense_flow.py halo mode).
+
+    The band may span several neighbor shards (h > rows, e.g. 8 shards of
+    a 320-row sensor with max_window=50): hop j fetches the needed rows
+    from the shard j positions away with a distance-j ppermute, so each
+    side costs ceil(h / rows) exchanges.
     """
     if h == 0:
         return arr
+    if n == 1:
+        return jnp.pad(arr, ((h, h), (0, 0)))
+    rows = arr.shape[0]
     idx = jax.lax.axis_index(axis_name)
-    fwd = [(i, (i + 1) % n) for i in range(n)]   # to next shard (rows below)
-    bwd = [(i, (i - 1) % n) for i in range(n)]   # to previous shard
-    from_prev = jax.lax.ppermute(arr[-h:], axis_name, fwd)
-    from_next = jax.lax.ppermute(arr[:h], axis_name, bwd)
-    zero = jnp.zeros_like(from_prev)
-    from_prev = jnp.where(idx == 0, zero, from_prev)
-    from_next = jnp.where(idx == n - 1, zero, from_next)
-    return jnp.concatenate([from_prev, arr, from_next], axis=0)
+    hops = -(-h // rows)
+    above = []   # assembled top-to-bottom: farthest hop first
+    below = []
+    for j in range(1, hops + 1):
+        take = min(rows, h - (j - 1) * rows)   # rows needed at distance j
+        fwd = [(i, (i + j) % n) for i in range(n)]
+        bwd = [(i, (i - j) % n) for i in range(n)]
+        # bottom `take` rows of shard idx-j sit immediately above the
+        # already-assembled band; top `take` rows of idx+j likewise below
+        from_prev = jax.lax.ppermute(arr[rows - take:], axis_name, fwd)
+        from_next = jax.lax.ppermute(arr[:take], axis_name, bwd)
+        from_prev = jnp.where(idx < j, jnp.zeros_like(from_prev), from_prev)
+        from_next = jnp.where(idx >= n - j, jnp.zeros_like(from_next),
+                              from_next)
+        above.insert(0, from_prev)
+        below.append(from_next)
+    return jnp.concatenate(above + [arr] + below, axis=0)
 
 
 def halo_micro_step(state: SurfaceState, batch, cfg: FlowConfig, n: int):
@@ -65,7 +82,7 @@ def halo_micro_step(state: SurfaceState, batch, cfg: FlowConfig, n: int):
     pipeline/engine.py pack()). Mirrors micro_step's dense branch with the
     two stencil stages running on halo-extended local bands.
     """
-    rows = cfg.width // n
+    rows = cfg.array_width // n
     idx = jax.lax.axis_index("tx")
     row0 = idx * rows
 
@@ -145,7 +162,6 @@ class HaloFlowEngine(FlowEngine):
             raise ValueError(
                 "halo sharding uses the XLA dense stencils; Pallas kernels "
                 "operate on whole-sensor blocks (use_pallas must be falsy)")
-        super().__init__(cfg)
         if mesh is None:
             devs = jax.devices()
             if num_devices is not None:
@@ -154,15 +170,11 @@ class HaloFlowEngine(FlowEngine):
         self.mesh = mesh
         n = int(mesh.devices.size)
         self.n_shards = n
-        if cfg.width % n != 0:
-            raise ValueError(
-                f"sensor width {cfg.width} not divisible by mesh size {n}")
-        rows = cfg.width // n
-        need = max(cfg.support_radius, cfg.max_window + 1)
-        if rows < need:
-            raise ValueError(
-                f"shard of {rows} rows is thinner than the halo ({need}); "
-                f"use fewer shards or a smaller max_window")
+        # non-divisible widths pad up (pad rows are never written); shards
+        # thinner than the halo are fine - exchange_halo assembles the
+        # band from multiple ring hops
+        cfg = cfg.padded_to(n)
+        super().__init__(cfg)
 
         surf = P("tx", None)
         state_specs = SurfaceState(surf, surf, surf, surf, surf, P())

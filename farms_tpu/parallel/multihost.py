@@ -97,16 +97,15 @@ class MultiHostFlowEngine(FlowEngine):
             raise ValueError(
                 "multi-host sharding requires the dense compute path "
                 "(use_dense=True): its stencils shard over 'tx'")
-        super().__init__(cfg)
         self.mesh = mesh if mesh is not None else make_global_mesh()
         tx = self.mesh.shape["tx"]
         ev = self.mesh.shape["ev"]
-        if cfg.width % tx != 0:
-            raise ValueError(
-                f"sensor width {cfg.width} not divisible by tx={tx}")
         if cfg.chunk_size % ev != 0:
             raise ValueError(
                 f"chunk_size {cfg.chunk_size} not divisible by ev={ev}")
+        # non-divisible widths pad up (pad rows are never written)
+        cfg = cfg.padded_to(tx)
+        super().__init__(cfg)
 
         surf = NamedSharding(self.mesh, P("tx", None))
         repl = NamedSharding(self.mesh, P())

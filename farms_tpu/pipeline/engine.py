@@ -68,7 +68,9 @@ def micro_step(state: SurfaceState, batch, cfg: FlowConfig):
         lane_valid = batch[3].astype(jnp.bool_)
         if batch.shape[0] > 4:
             is_winner = batch[4].astype(jnp.bool_)
-    W, H = cfg.width, cfg.height
+    # scatter sentinels and gather extents follow the (possibly padded)
+    # device arrays; semantic border rules live in the dense ops
+    W, H = cfg.array_width, cfg.array_height
     m = x.shape[0]
     idx = jnp.arange(m, dtype=jnp.int32)
     t1 = t + 1     # stamp1 encoding (see state/surfaces.py)

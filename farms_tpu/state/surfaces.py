@@ -50,7 +50,9 @@ class SurfaceState(NamedTuple):
 
 
 def init_state(cfg: FlowConfig) -> SurfaceState:
-    W, H = cfg.width, cfg.height
+    # arrays may be padded past the semantic sensor for sharding (pad
+    # cells are never written; see FlowConfig.padded_to)
+    W, H = cfg.array_width, cfg.array_height
     return SurfaceState(
         t_surf=jnp.zeros((W, H), dtype=jnp.int32),
         epoch=jnp.full((W, H), -1, dtype=jnp.int32),

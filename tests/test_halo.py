@@ -46,13 +46,29 @@ def test_halo_filter5(events):
     _compare(cfg, events, 2)
 
 
-def test_halo_rejects_thin_shards():
-    cfg = FlowConfig(width=64, height=64, use_pallas=False)  # max_window=50
-    with pytest.raises(ValueError):
-        HaloFlowEngine(cfg, num_devices=8)
+def test_halo_multihop_thin_shards(events):
+    """8 shards x 8 rows with an 11-row halo: 2 ring hops per side.
+
+    This is the shard-thinner-than-halo regime that round 1 rejected
+    (VERDICT.md item 5); exchange_halo now assembles the band from
+    multiple ppermute hops.
+    """
+    cfg = FlowConfig(width=64, height=64, chunk_size=64, steps_per_scan=2,
+                     max_window=10, use_pallas=False)
+    _compare(cfg, events, 8)
 
 
-def test_halo_rejects_indivisible_width():
-    cfg = FlowConfig(width=66, height=64, max_window=10, use_pallas=False)
-    with pytest.raises(ValueError):
-        HaloFlowEngine(cfg, num_devices=4)
+def test_halo_pads_indivisible_width(events):
+    """width 66 over 4 shards pads the arrays to 68; outputs unchanged."""
+    cfg = FlowConfig(width=66, height=64, chunk_size=64, steps_per_scan=2,
+                     max_window=10, use_pallas=False)
+    _compare(cfg, events, 4)
+
+
+def test_halo_default_geometry_eight_shards(events):
+    """The round-1 impossible config: 8 shards at width 64... scaled to
+    the real default aperture. max_window=50 means the 51-row halo spans
+    7 of the 8-row shards - the deepest multi-hop case."""
+    cfg = FlowConfig(width=64, height=64, chunk_size=64, steps_per_scan=2,
+                     max_window=50, use_pallas=False)
+    _compare(cfg, events, 8)
