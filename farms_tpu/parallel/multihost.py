@@ -142,6 +142,11 @@ class MultiHostFlowEngine(FlowEngine):
                 arr.shape, sharding, lambda idx: arr[idx])
         return jax.tree.map(put, state, self._state_shardings)
 
+    def place_state(self, state: SurfaceState) -> SurfaceState:
+        # multi-process placement cannot device_put host arrays directly;
+        # route through the per-process shard construction
+        return self._put_state(state)
+
     def reset(self):
         from farms_tpu.state.surfaces import init_state
         self.state = self._put_state(init_state(self.cfg))

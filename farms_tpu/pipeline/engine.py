@@ -229,6 +229,18 @@ class FlowEngine:
         self.state = init_state(self.cfg)
         self._t0 = None
 
+    def place_state(self, state: SurfaceState) -> SurfaceState:
+        """Apply this engine's device/sharding placement to a state pytree.
+
+        Sharded subclasses expose their placement via `_state_shardings`
+        (a SurfaceState of NamedShardings) or `_state_sharding` (one
+        sharding for every leaf); checkpoint restore uses this so a saved
+        state re-enters the engine's mesh layout (VERDICT.md item 9).
+        """
+        sh = (getattr(self, "_state_shardings", None)
+              or getattr(self, "_state_sharding", None))
+        return jax.device_put(state, sh) if sh is not None else state
+
     def _dispatch(self, chunk):
         """Run one scan call; subclasses override to add shardings."""
         return scan_chunk(self.state, chunk, self.cfg)

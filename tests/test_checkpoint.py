@@ -27,6 +27,53 @@ def test_checkpoint_resume_equals_oneshot(tmp_path):
     np.testing.assert_array_equal(one.t[256:], second.t)
 
 
+def test_checkpoint_halo_engine_roundtrip(tmp_path):
+    """Save a sharded HaloFlowEngine mid-stream, restore into a fresh one,
+    continue: equals the uninterrupted sharded run, and the restored state
+    carries the engine's mesh sharding (VERDICT.md round-1 item 9)."""
+    from farms_tpu.parallel.halo import HaloFlowEngine
+
+    ev = synthetic_translating_bar(width=64, height=64, bar_len=20,
+                                   duration_us=30000, jitter_us=20)[:512]
+    cfg = FlowConfig(width=64, height=64, chunk_size=64, steps_per_scan=2,
+                     max_window=10, use_pallas=False)
+
+    one = HaloFlowEngine(cfg, num_devices=4).process(ev)
+
+    eng = HaloFlowEngine(cfg, num_devices=4)
+    eng.process(ev[:256])
+    path = save_engine(eng, str(tmp_path / "halo_ckpt"))
+
+    resumed = load_engine(HaloFlowEngine(cfg, num_devices=4), path)
+    assert (resumed.state.t_surf.sharding
+            == resumed._state_shardings.t_surf), "sharding not re-applied"
+    second = resumed.process(ev[256:])
+
+    np.testing.assert_allclose(one.r_true[256:], second.r_true, rtol=1e-6)
+    np.testing.assert_array_equal(one.scale[256:], second.scale)
+
+
+def test_checkpoint_portable_across_engines(tmp_path):
+    """A single-device checkpoint restores into a sharded halo engine
+    (and the continuation matches the single-device continuation)."""
+    from farms_tpu.parallel.halo import HaloFlowEngine
+
+    ev = synthetic_translating_bar(width=64, height=64, bar_len=20,
+                                   duration_us=30000, jitter_us=20)[:512]
+    cfg = FlowConfig(width=64, height=64, chunk_size=64, steps_per_scan=2,
+                     max_window=10, use_pallas=False)
+
+    single = FlowEngine(cfg)
+    single.process(ev[:256])
+    path = save_engine(single, str(tmp_path / "port_ckpt"))
+    want = single.process(ev[256:])
+
+    halo = load_engine(HaloFlowEngine(cfg, num_devices=4), path)
+    got = halo.process(ev[256:])
+    np.testing.assert_allclose(want.r_true, got.r_true, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(want.scale, got.scale)
+
+
 def test_checkpoint_rejects_wrong_geometry(tmp_path):
     import pytest
 
