@@ -266,39 +266,51 @@ class FlowEngine:
         spc = steps_per_call or cfg.steps_per_scan
         per_call = m * spc
         n_calls = max(1, -(-n // per_call))
-        pad_total = n_calls * per_call - n
+        total = n_calls * per_call
+        pad_total = total - n
 
-        packed = np.empty((5, n_calls * per_call), dtype=np.int32)
-        packed[0, :n] = x
-        packed[1, :n] = y
-        packed[2, :n] = t
-        packed[3, :n] = 1
-        if pad_total:
-            packed[0, n:] = 0
-            packed[1, n:] = 0
-            packed[2, n:] = t[-1] if n else 0
-            packed[3, n:] = 0
+        def padded(arr, fill):
+            if not pad_total:
+                return arr
+            out = np.empty(total, dtype=np.int32)
+            out[:n] = arr
+            out[n:] = fill
+            return out
+
+        xp = padded(x, 0)
+        yp = padded(y, 0)
+        tp = padded(t, t[-1] if n else 0)
 
         # host-side winner resolution per micro-batch: the last event at
         # each pixel wins (vFlow.cpp:264-273). NumPy fancy-index assignment
         # keeps the last write, giving an O(m) resolution; device scatters
-        # then have unique indices.
-        flat = (packed[0] * np.int64(cfg.height) + packed[1]).reshape(-1, m)
-        # padded (invalid) lanes sit at x=y=0; route them to a sentinel
-        # bucket so they cannot steal pixel (0,0) from a real event
-        flat = np.where(packed[3].reshape(-1, m) == 1, flat,
-                        cfg.width * cfg.height)
+        # then have unique indices. Padded (invalid) lanes sit at x=y=0;
+        # route them to a sentinel bucket so they cannot steal pixel (0,0)
+        # from a real event.
+        flat = xp * np.int64(cfg.height) + yp
+        flat[n:] = cfg.width * cfg.height
+        flat = flat.reshape(-1, m)
         lanes = np.arange(m)
         seen = np.empty(cfg.width * cfg.height + 1, dtype=np.int64)
-        winner = np.zeros((flat.shape[0], m), dtype=np.int32)
+        winner = np.empty((flat.shape[0], m), dtype=np.int32)
         for b in range(flat.shape[0]):
             seen[flat[b]] = lanes
             winner[b] = seen[flat[b]] == lanes
-        winner = winner.reshape(1, -1) & packed[3:4]
-        packed[4] = winner[0]
+        winner = winner.reshape(-1)
+        winner[n:] = 0
+        lane_valid = np.empty(total, dtype=np.int32)
+        lane_valid[:n] = 1
+        lane_valid[n:] = 0
 
-        packed = packed.reshape(5, n_calls, spc, m).transpose(1, 2, 0, 3)
-        return np.ascontiguousarray(packed), n
+        # write straight into the final [n_calls, spc, 5, m] layout
+        # (strided component writes; no transpose copy afterwards)
+        packed = np.empty((n_calls, spc, 5, m), dtype=np.int32)
+        packed[:, :, 0, :] = xp.reshape(n_calls, spc, m)
+        packed[:, :, 1, :] = yp.reshape(n_calls, spc, m)
+        packed[:, :, 2, :] = tp.reshape(n_calls, spc, m)
+        packed[:, :, 3, :] = lane_valid.reshape(n_calls, spc, m)
+        packed[:, :, 4, :] = winner.reshape(n_calls, spc, m)
+        return packed, n
 
     def _unpack_outputs(self, out_blocks, ev: EventBatch, n: int) -> FlowOutput:
         # blocks are [steps, 7, m] -> rows of (event, column)
