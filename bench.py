@@ -1,16 +1,25 @@
 """Throughput benchmark: prints one JSON line for the driver.
 
-Methodology mirrors the reference's own measurement (vFlow.cpp:214-423,
-main.cpp:201): one timed region around a long run of event processing -
-events start in memory (reference: RAM vectors; here: device HBM) and
-outputs land in memory. File I/O is outside the timer in both. The stream
-is processed as back-to-back device dispatches carrying the surface state
-(exactly how the streaming engine runs in production), with a single
-synchronization at the end, so the number reflects sustained device
-throughput rather than host round-trip latency.
+Two lanes, mirroring the reference's own methodology and an honest
+end-to-end number (VERDICT.md round-1 item 6):
 
-Metric: events/second on one chip for the 320x320 sensor config
-(BASELINE.json config 2-style: millions of events, batched mode).
+- **device lane** (the headline `value`): events start in device HBM and
+  outputs land in device HBM — the analog of the reference's timed region
+  (vFlow.cpp:214-423, main.cpp:201), which also starts from events already
+  in RAM vectors and appends to RAM vectors with file I/O outside the
+  timer. Each timed call processes a *distinct* chunk whose stamps continue
+  the stream's timeline (per-call stamp offset), so the surface-state chain
+  is a genuine continuation: staleness kills, causal gating, and epoch
+  rollover all run in the regime a real stream hits.
+- **e2e lane** (`e2e_events_per_second`): fresh host events each call —
+  includes host packing, H2D upload, dispatch, and D2H output unpack
+  (`FlowEngine.process`). The gap between the two numbers is host pack +
+  PCIe/tunnel transfer cost.
+
+Config: 320x320 sensor (BASELINE.json config 2-style: millions of events,
+batched mode) at the *validated* operating point `chunk_size=65536` — the
+largest chunk meeting the accuracy budget (AEE < 0.5 px/ms, ang p95 < 5
+deg) against the float64 event-serial oracle; see ACCURACY.md.
 vs_baseline is measured against the driver's north-star per-chip share:
 100 M events/s on a v5p-16 = 6.25 M events/s per chip (BASELINE.json:5);
 the reference itself publishes no numbers (BASELINE.md).
@@ -28,7 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from farms_tpu.config import FlowConfig
-from farms_tpu.events.io import synthetic_random_events
+from farms_tpu.events.io import EventBatch, synthetic_random_events
 from farms_tpu.pipeline.engine import scan_chunk
 from farms_tpu.pipeline.engine import FlowEngine
 from farms_tpu.state.surfaces import init_state
@@ -43,27 +52,39 @@ def main():
     except Exception:
         pass
 
-    m = int(os.environ.get("FARMS_BENCH_CHUNK", 131072))
+    # validated operating point (ACCURACY.md): largest chunk within the
+    # accuracy budget vs the event-serial oracle
+    m = int(os.environ.get("FARMS_BENCH_CHUNK", 65536))
     spc = int(os.environ.get("FARMS_BENCH_STEPS", 8))
     n_calls = int(os.environ.get("FARMS_BENCH_CALLS", 16))
+    e2e_calls = int(os.environ.get("FARMS_BENCH_E2E_CALLS", 4))
     n = m * spc  # events per scan call
     cfg = FlowConfig(width=320, height=320, chunk_size=m, use_dense=True)
 
     ev = synthetic_random_events(n, width=320, height=320, rate_hz=5e6,
                                  seed=0)
+    # timeline span of one call's worth of events (plus one mean gap), so
+    # call i's stamps continue where call i-1 ended
+    span = np.int32(int(ev.t[-1]) + max(1, int(ev.t[-1]) // max(1, n)))
 
-    # pack once; the timed region re-processes the same resident chunk,
-    # carrying the surface state across calls like the streaming engine does
+    # ---- device lane -------------------------------------------------------
     eng = FlowEngine(cfg)
-    packed, _ = eng.pack(ev, steps_per_call=spc)
-    chunk = jax.device_put(jnp.asarray(packed[0]))
+    packed, _ = eng.pack(ev, steps_per_call=spc, compact=True)
+    base = jax.device_put(jnp.asarray(packed[0]))
+    # n_calls distinct device-resident chunks: same events, stamps (compact
+    # row 1) shifted by i*span so the state chain is a genuine monotonic
+    # continuation
+    chunks = [base.at[:, 1, :].add(jnp.int32(i) * span)
+              for i in range(n_calls)]
 
     # warmup / compile. NOTE: block_until_ready does not reliably wait
     # through the remote-execution tunnel; a scalar materialization of the
     # last output (which depends on the whole state chain) is the fence.
     state = init_state(cfg)
-    state, out = scan_chunk(state, chunk, cfg)
+    state, out = scan_chunk(state, chunks[0], cfg)
     checksum = float(jnp.sum(out[:, 0, :]))
+    for c in chunks:  # materialize every shifted chunk before timing
+        checksum += float(c[0, 1, 0])
 
     best = 0.0
     for _ in range(2):
@@ -71,18 +92,38 @@ def main():
         checksum = float(jnp.sum(state.t_surf))
         outs = []
         t0 = time.perf_counter()
-        for _ in range(n_calls):
-            state, out = scan_chunk(state, chunk, cfg)
+        for c in chunks:
+            state, out = scan_chunk(state, c, cfg)
             outs.append(out)
         checksum = float(jnp.sum(outs[-1][:, 0, :]))
         dt = time.perf_counter() - t0
         best = max(best, n_calls * n / dt)
+
+    # ---- e2e lane: fresh host events, pack + H2D + D2H included -----------
+    e2e = 0.0
+    if e2e_calls:
+        eng2 = FlowEngine(cfg)
+        # warmup (compile shares the cache with the device lane)
+        eng2.process(EventBatch(ev.x, ev.y, ev.t, ev.pol))
+        eng2.reset()
+        t0 = time.perf_counter()
+        for i in range(e2e_calls):
+            evi = EventBatch(ev.x, ev.y,
+                             (ev.t.astype(np.int64)
+                              + i * int(span)).astype(np.uint32), ev.pol)
+            out = eng2.process(evi)
+        checksum = float(np.sum(out.r_true))  # outputs are host arrays
+        dt = time.perf_counter() - t0
+        e2e = e2e_calls * n / dt
 
     print(json.dumps({
         "metric": "events_per_second_single_chip",
         "value": round(best, 1),
         "unit": "events/s",
         "vs_baseline": round(best / BASELINE_PER_CHIP, 3),
+        "chunk_size": m,
+        "e2e_events_per_second": round(e2e, 1),
+        "e2e_vs_baseline": round(e2e / BASELINE_PER_CHIP, 3),
     }))
     return 0
 

@@ -154,6 +154,9 @@ def halo_micro_step(state: SurfaceState, batch, cfg: FlowConfig, n: int):
 class HaloFlowEngine(FlowEngine):
     """FlowEngine with explicit ppermute halo exchange over a ('tx',) mesh."""
 
+    # halo_micro_step consumes the 5-row pack layout directly
+    _compact_ok = False
+
     def __init__(self, cfg: FlowConfig, num_devices: int | None = None,
                  mesh: Mesh | None = None):
         if not cfg.use_dense:

@@ -58,6 +58,20 @@ def micro_step(state: SurfaceState, batch, cfg: FlowConfig):
     if isinstance(batch, (tuple, list)):
         x, y, t, lane_valid = batch
         lane_valid = lane_valid.astype(jnp.bool_)
+    elif batch.shape[0] == 2:
+        # compact packed int32 [2, m]: row 0 = flat pixel index x*H+y with
+        # the host-resolved winner flag in bit 30 (W*H < 2^30 for every
+        # supported sensor; invalid/padded lanes carry the out-of-range
+        # sentinel W*H and are never winners), row 1 = normalized stamp.
+        # 8 bytes/event upload instead of 20 - H2D bandwidth is the e2e
+        # bottleneck (bench.py). The divide-by-constant decode is a couple
+        # of VPU multiply-shifts, invisible next to the scatters.
+        word, t = batch[0], batch[1]
+        is_winner = ((word >> 30) & 1).astype(jnp.bool_)
+        xy = word & jnp.int32(0x3FFFFFFF)
+        x = xy // jnp.int32(cfg.height)
+        y = xy - x * jnp.int32(cfg.height)
+        lane_valid = None  # only the device-winner path below needs it
     else:
         # packed int32 [5, m]: the component axis is major so each row is a
         # well-tiled [m] vector (a minor axis of 5 would be padded to 128
@@ -220,6 +234,9 @@ def scan_chunk(state: SurfaceState, chunk, cfg: FlowConfig):
 class FlowEngine:
     """Host-side streaming driver carrying device state across chunks."""
 
+    # subclasses whose step fn can't decode the 2-row compact pack opt out
+    _compact_ok = True
+
     def __init__(self, cfg: FlowConfig):
         self.cfg = cfg
         self.state = init_state(cfg)
@@ -246,12 +263,16 @@ class FlowEngine:
         return scan_chunk(self.state, chunk, self.cfg)
 
     # ---- host-side packing -------------------------------------------------
-    def pack(self, ev: EventBatch, steps_per_call: int | None = None):
+    def pack(self, ev: EventBatch, steps_per_call: int | None = None,
+             compact: bool = False):
         """Normalize, pad, and pack an event stream for the device.
 
-        Returns (packed int32 [n_calls, steps, 4, m] host array, n) where n
-        is the real event count. The first call latches t0 = first stamp
-        (vFlow.cpp:194, 241); later calls continue the same timeline.
+        Returns (packed int32 [n_calls, steps, rows, m] host array, n)
+        where n is the real event count; rows is 5 (x, y, t, lane_valid,
+        winner) or, with `compact=True`, 2 (x*H+y | winner<<30, t) —
+        8 bytes/event on the H2D wire instead of 20 (micro_step decodes).
+        The first call latches t0 = first stamp (vFlow.cpp:194, 241);
+        later calls continue the same timeline.
         """
         cfg = self.cfg
         n = len(ev)
@@ -298,6 +319,17 @@ class FlowEngine:
             winner[b] = seen[flat[b]] == lanes
         winner = winner.reshape(-1)
         winner[n:] = 0
+
+        if compact:
+            # row 0: flat pixel index (sentinel W*H on padded lanes, which
+            # also marks them invalid) with the winner flag in bit 30
+            word = flat.reshape(-1).astype(np.int32)
+            word |= winner << 30
+            packed = np.empty((n_calls, spc, 2, m), dtype=np.int32)
+            packed[:, :, 0, :] = word.reshape(n_calls, spc, m)
+            packed[:, :, 1, :] = tp.reshape(n_calls, spc, m)
+            return packed, n
+
         lane_valid = np.empty(total, dtype=np.int32)
         lane_valid[:n] = 1
         lane_valid[n:] = 0
@@ -320,18 +352,21 @@ class FlowEngine:
                 for o in out_blocks
             ]
         )[:n]
+        # one vectorized f32->f64 cast; per-column strided casts measured
+        # ~6x slower on the e2e path (the fields below are views into it)
+        cols64 = cols.astype(np.float64)
         t = (ev.t.astype(np.uint32) - self._t0).astype(np.uint32)
         return FlowOutput(
             x=ev.x.astype(np.int32),
             y=ev.y.astype(np.int32),
             t=t,
             pol=ev.pol.astype(np.int32),
-            r_true=cols[:, 0].astype(np.float64),
-            theta_true=cols[:, 1].astype(np.float64),
-            vx=cols[:, 2].astype(np.float64),
-            vy=cols[:, 3].astype(np.float64),
-            r_local=cols[:, 4].astype(np.float64),
-            theta_local=cols[:, 5].astype(np.float64),
+            r_true=cols64[:, 0],
+            theta_true=cols64[:, 1],
+            vx=cols64[:, 2],
+            vy=cols64[:, 3],
+            r_local=cols64[:, 4],
+            theta_local=cols64[:, 5],
             scale=cols[:, 6].astype(np.int32),
         )
 
@@ -345,7 +380,7 @@ class FlowEngine:
         n = len(ev)
         if n == 0:
             return _empty_output()
-        packed, n = self.pack(ev)
+        packed, n = self.pack(ev, compact=self._compact_ok)
         outs = []
         for c in range(packed.shape[0]):
             self.state, out = self._dispatch(jnp.asarray(packed[c]))
