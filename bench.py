@@ -83,8 +83,10 @@ def main():
     state = init_state(cfg)
     state, out = scan_chunk(state, chunks[0], cfg)
     checksum = float(jnp.sum(out[:, 0, :]))
-    for c in chunks:  # materialize every shifted chunk before timing
-        checksum += float(c[0, 1, 0])
+    for c in chunks:  # materialize every shifted chunk before timing: a
+        # full-buffer reduction (not a one-element fetch) is the fence,
+        # since block_until_ready is unreliable through the remote tunnel
+        checksum += float(jnp.sum(c))
 
     best = 0.0
     for _ in range(2):

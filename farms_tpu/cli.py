@@ -8,6 +8,14 @@ the closing benchmark line match the reference formats
 (vFlow.cpp:433-442, main.cpp:201-209).
 
 Modes, matching the reference dispatch (main.cpp:193-209):
+
+Deliberate deviation: the reference defaults `Serial_ = true` (main.cpp:31)
+so a bare invocation streams per-event timings and writes no output file.
+Here the default is `--SERIAL 0` (batch) because batch is the only mode
+that produces the `_FARMSOut_batch.txt` artifact the MATLAB pipeline (and
+any downstream consumer) expects; serial mode remains available and
+identical in behavior via `--SERIAL 1`.
+
 - `--SERIAL 0` (default): batch processing - the chunked engine; writes
   `<filename>_FARMSOut_batch.txt` and times the whole processing loop.
 - `--SERIAL 1`: event-serial streaming - per-event `Local <us> <cum>` /

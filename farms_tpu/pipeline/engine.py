@@ -7,10 +7,11 @@ pytree, micro-steps are fused with `lax.scan`, and the host driver streams
 chunks to the device carrying the state across calls (which doubles as the
 checkpoint/resume mechanism: the surface pytree *is* the whole state).
 
-Host<->device traffic is packed: one int32 [steps, m, 4] upload per call
-(x, y, t, lane_valid) and one f32 [steps, m, 7] download (the computed
-output columns), so throughput is bounded by bandwidth rather than
-per-array dispatch latency. The device-resident path (`process` with the
+Host<->device traffic is packed: one int32 [steps, rows, m] upload per
+call — rows=5 (x, y, t, lane_valid, winner) or the compact rows=2 layout
+(flat index | winner<<30, t; 8 bytes/event) — and one f32 [steps, 7, m]
+download (the computed output columns), so throughput is bounded by
+bandwidth rather than per-array dispatch latency. The device-resident path (`process` with the
 default settings uploads everything first, runs every micro-step, then
 downloads once) mirrors the reference's measurement methodology: its timed
 loop also starts from events already in RAM vectors and appends outputs to
@@ -43,6 +44,7 @@ from farms_tpu.ops.dense_flow import (
 from farms_tpu.ops.local_flow import local_flow_batch
 from farms_tpu.ops.pallas import kernels as pallas_kernels
 from farms_tpu.state.surfaces import SurfaceState, init_state, kill_stale_flow
+from farms_tpu.utils import nativeio
 
 N_OUT_COLS = 7  # r_true, theta_true, vx, vy, r_local, theta_local, scale
 
@@ -223,7 +225,9 @@ def micro_step(state: SurfaceState, batch, cfg: FlowConfig):
 def scan_chunk(state: SurfaceState, chunk, cfg: FlowConfig):
     """Run several micro-steps under one jit via lax.scan.
 
-    `chunk` is int32 [n_steps, 4, m]; output is f32 [n_steps, 7, m].
+    `chunk` is int32 [n_steps, rows, m] with rows=5 (x, y, t, lane_valid,
+    winner) or the compact rows=2 layout (see micro_step); output is
+    f32 [n_steps, 7, m].
     """
     def body(st, batch):
         return micro_step(st, batch, cfg)
@@ -275,13 +279,14 @@ class FlowEngine:
         later calls continue the same timeline.
         """
         cfg = self.cfg
+        if compact and cfg.width * cfg.height >= 1 << 30:
+            # the compact layout keeps the winner flag in bit 30 of the
+            # flat pixel index; a sensor with W*H >= 2^30 would alias it,
+            # so fall back to the explicit 5-row layout (ADVICE.md r2)
+            compact = False
         n = len(ev)
         if self._t0 is None and n:
             self._t0 = np.uint32(ev.t[0])
-
-        x = np.clip(ev.x.astype(np.int32), 0, cfg.width - 1)
-        y = np.clip(ev.y.astype(np.int32), 0, cfg.height - 1)
-        t = (ev.t.astype(np.uint32) - (self._t0 or np.uint32(0))).view(np.int32)
 
         m = cfg.chunk_size
         spc = steps_per_call or cfg.steps_per_scan
@@ -289,6 +294,19 @@ class FlowEngine:
         n_calls = max(1, -(-n // per_call))
         total = n_calls * per_call
         pad_total = total - n
+
+        if compact:
+            # native single-pass pack (clip + normalize + winner bits);
+            # None (library absent) falls through to the NumPy path
+            nat = nativeio.pack_compact(
+                ev.x, ev.y, ev.t, int(self._t0 or 0), cfg.width, cfg.height,
+                m, n_calls * spc)
+            if nat is not None:
+                return nat.reshape(n_calls, spc, 2, m), n
+
+        x = np.clip(ev.x.astype(np.int32), 0, cfg.width - 1)
+        y = np.clip(ev.y.astype(np.int32), 0, cfg.height - 1)
+        t = (ev.t.astype(np.uint32) - (self._t0 or np.uint32(0))).view(np.int32)
 
         def padded(arr, fill):
             if not pad_total:
@@ -345,28 +363,28 @@ class FlowEngine:
         return packed, n
 
     def _unpack_outputs(self, out_blocks, ev: EventBatch, n: int) -> FlowOutput:
-        # blocks are [steps, 7, m] -> rows of (event, column)
+        # blocks are [steps, 7, m] -> rows of (event, column); one
+        # transpose copy, then zero-copy f32 column views (the previous
+        # whole-matrix f64 cast was ~40% of host unpack time on the e2e
+        # lane; FlowOutput consumers upcast on demand, e.g. as_matrix)
         cols = np.concatenate(
             [
                 np.asarray(o).transpose(0, 2, 1).reshape(-1, N_OUT_COLS)
                 for o in out_blocks
             ]
         )[:n]
-        # one vectorized f32->f64 cast; per-column strided casts measured
-        # ~6x slower on the e2e path (the fields below are views into it)
-        cols64 = cols.astype(np.float64)
         t = (ev.t.astype(np.uint32) - self._t0).astype(np.uint32)
         return FlowOutput(
             x=ev.x.astype(np.int32),
             y=ev.y.astype(np.int32),
             t=t,
             pol=ev.pol.astype(np.int32),
-            r_true=cols64[:, 0],
-            theta_true=cols64[:, 1],
-            vx=cols64[:, 2],
-            vy=cols64[:, 3],
-            r_local=cols64[:, 4],
-            theta_local=cols64[:, 5],
+            r_true=cols[:, 0],
+            theta_true=cols[:, 1],
+            vx=cols[:, 2],
+            vy=cols[:, 3],
+            r_local=cols[:, 4],
+            theta_local=cols[:, 5],
             scale=cols[:, 6].astype(np.int32),
         )
 

@@ -68,6 +68,25 @@ def _lib():
                     ctypes.c_longlong,
                     ctypes.POINTER(ctypes.c_double),
                 ]
+                try:
+                    lib.farms_pack_compact.restype = ctypes.c_int
+                    lib.farms_pack_compact.argtypes = [
+                        ctypes.c_longlong,
+                        ctypes.POINTER(ctypes.c_int32),
+                        ctypes.POINTER(ctypes.c_int32),
+                        ctypes.POINTER(ctypes.c_uint32),
+                        ctypes.c_uint32,
+                        ctypes.c_int32,
+                        ctypes.c_int32,
+                        ctypes.c_longlong,
+                        ctypes.c_longlong,
+                        ctypes.c_int32,
+                        ctypes.POINTER(ctypes.c_int32),
+                    ]
+                except AttributeError:
+                    # stale library built before pack support; the NumPy
+                    # fallback in pipeline/engine.py covers it
+                    pass
                 _LIB = lib
             except OSError:
                 _LIB = None
@@ -109,6 +128,35 @@ def parse_events(path: str, max_events: int | None) -> np.ndarray | None:
     out[:, 2] = t[:n]
     out[:, 3] = p[:n]
     return out
+
+
+def pack_compact(x: np.ndarray, y: np.ndarray, t: np.ndarray, t0: int,
+                 width: int, height: int, m: int, steps: int,
+                 subphases: int = 1) -> np.ndarray | None:
+    """Native compact device-layout pack (see pipeline/engine.py pack()).
+
+    Returns int32 [steps, 2, m] (row 0: flat pixel index | winner << 30,
+    row 1: normalized stamp) or None when the native library is missing,
+    in which case the caller's NumPy path applies.
+    """
+    lib = _lib()
+    if lib is None or not hasattr(lib, "farms_pack_compact"):
+        return None
+    n = int(x.shape[0])
+    x = np.ascontiguousarray(x, dtype=np.int32)
+    y = np.ascontiguousarray(y, dtype=np.int32)
+    t = np.ascontiguousarray(t, dtype=np.uint32)
+    out = np.empty((steps, 2, m), dtype=np.int32)
+    rc = lib.farms_pack_compact(
+        n,
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        y.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        t.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.c_uint32(int(t0) & 0xFFFFFFFF),
+        width, height, m, steps, subphases,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return out if rc == 0 else None
 
 
 def write_flow(path: str, mat: np.ndarray) -> bool:

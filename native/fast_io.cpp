@@ -12,11 +12,14 @@
 //   farms_count_lines(path)                      -> line count or -1
 //   farms_parse_events(path, cap, x, y, t, p)    -> events parsed or -1
 //   farms_write_flow(path, n, rows[11*n])        -> 0 on success
+//   farms_pack_compact(...)                      -> 0 on success
 #include <cerrno>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+
+#include <vector>
 
 #include <fcntl.h>
 #include <sys/mman.h>
@@ -169,6 +172,63 @@ int farms_write_flow(const char* path, long long n, const double* rows) {
   if (used) fwrite(buf, 1, used, fp);
   delete[] buf;
   return fclose(fp) == 0 ? 0 : -1;
+}
+
+// Pack an event stream into the engine's compact device layout
+// (pipeline/engine.py pack(compact=True)): int32 [steps, 2, m] where row 0
+// is the clipped flat pixel index x*H + y with the micro-batch "winner"
+// flag (last event at that pixel within its resolution block) in bit 30,
+// and row 1 is the stamp normalized to t0. Lanes past `n` carry the
+// out-of-range sentinel W*H (never winners) and the last stamp.
+//
+// `K` sub-divides each m-lane micro-batch into K equal winner-resolution
+// blocks (K=1: whole-batch winners; K>1 feeds the engine's sub-phased
+// aperture stage). The reference's last-write-wins surface semantics are
+// vFlow.cpp:264-273; this replaces a per-block NumPy fancy-indexing loop
+// with one linear pass.
+int farms_pack_compact(long long n, const int32_t* x, const int32_t* y,
+                       const uint32_t* t, uint32_t t0, int32_t W, int32_t H,
+                       long long m, long long steps, int32_t K,
+                       int32_t* out) {
+  if (W <= 0 || H <= 0 || m <= 0 || steps <= 0) return -1;
+  if (K <= 0 || m % K) K = 1;
+  const long long B = m / K;          // winner-resolution block size
+  if (m >= (1LL << 21)) return -1;    // lane index must fit the seen tag
+  const int32_t sentinel = W * H;
+  if (sentinel >= (1 << 30) || sentinel < 0) return -1;  // bit-30 flag room
+  std::vector<int64_t> seen(static_cast<size_t>(sentinel) + 1, -1);
+  const int32_t t_last =
+      n ? static_cast<int32_t>(t[n - 1] - t0) : 0;
+  long long tag = 0;
+  for (long long s = 0; s < steps; ++s) {
+    int32_t* w_row = out + s * 2 * m;
+    int32_t* t_row = w_row + m;
+    const long long base = s * m;
+    for (long long j = 0; j < m; ++j) {
+      const long long i = base + j;
+      if (i < n) {
+        int32_t xi = x[i];
+        xi = xi < 0 ? 0 : (xi >= W ? W - 1 : xi);
+        int32_t yi = y[i];
+        yi = yi < 0 ? 0 : (yi >= H ? H - 1 : yi);
+        w_row[j] = xi * H + yi;
+        t_row[j] = static_cast<int32_t>(t[i] - t0);
+      } else {
+        w_row[j] = sentinel;
+        t_row[j] = t_last;
+      }
+    }
+    for (long long b0 = 0; b0 < m && base + b0 < n; b0 += B) {
+      ++tag;
+      long long hi = b0 + B;
+      if (base + hi > n) hi = n - base;
+      for (long long j = b0; j < hi; ++j)
+        seen[w_row[j]] = (tag << 21) | j;
+      for (long long j = b0; j < hi; ++j)
+        if (seen[w_row[j]] == ((tag << 21) | j)) w_row[j] |= (1 << 30);
+    }
+  }
+  return 0;
 }
 
 }  // extern "C"

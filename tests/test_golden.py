@@ -159,6 +159,76 @@ def test_serial_mode_matches_oracle_past_2e31(dense):
     assert _angular_err_deg(ref, got, m).max() < 0.01
 
 
+def test_chunked_accuracy_operating_point():
+    """Pin the chunked-semantics error at the benchmark operating point.
+
+    The headline bench runs chunk_size=65536 at ~4 M ev/s, i.e. a chunk
+    spans ~33 freshness windows (KILL_OLD_FLOW_TIME=500 us,
+    vFlow.cpp:961). This fixture reproduces that regime CPU-sized: a
+    64x64 sensor, ~30 K ev/s structured stream (3 staggered translating
+    bars + 40% background noise), chunk_size=512 -> ~17.3 ms per chunk
+    = ~34.6 freshness windows, *harsher* than the operating point.
+    Thresholds pin the measured frontier (ACCURACY.md) with margin, so a
+    regression in intra-chunk causality (the event-serial contract,
+    vFlow.cpp:223-414) fails CI rather than silently blowing the
+    validated accuracy budget.
+    """
+    W = H = 64
+    parts = []
+    for k, t0 in enumerate((1000, 40000, 80000)):
+        b = synthetic_translating_bar(width=W, height=H, bar_len=24,
+                                      speed_px_per_sec=900.0,
+                                      duration_us=38000, jitter_us=40,
+                                      seed=k, t0_us=t0)
+        parts.append((b.x, b.y, b.t, b.pol))
+    n_bar = sum(len(p[0]) for p in parts)
+    t_end = max(int(p[2][-1]) for p in parts)
+    rng = np.random.default_rng(7)
+    n_bg = int(n_bar * 0.4)
+    parts.append((rng.integers(0, W, n_bg).astype(np.int32),
+                  rng.integers(0, H, n_bg).astype(np.int32),
+                  np.sort(rng.integers(1000, t_end, n_bg)).astype(np.uint32),
+                  np.ones(n_bg, dtype=np.int32)))
+    from farms_tpu.events.io import EventBatch
+    x = np.concatenate([p[0] for p in parts]).astype(np.int32)
+    y = np.concatenate([p[1] for p in parts]).astype(np.int32)
+    t = np.concatenate([p[2] for p in parts])
+    pol = np.concatenate([p[3] for p in parts]).astype(np.int32)
+    order = np.argsort(t, kind="stable")
+    ev = EventBatch(x[order], y[order], t[order].astype(np.uint32),
+                    pol[order])
+
+    chunk = 512
+    rate = len(ev) / (int(ev.t[-1]) - int(ev.t[0])) * 1e6
+    ratio = chunk / rate * 1e6 / 500.0
+    assert ratio >= 32.8, f"fixture ratio {ratio:.1f} weaker than op point"
+
+    cfg = FlowConfig(width=W, height=H, chunk_size=chunk, steps_per_scan=4)
+    orc = run_oracle(ev, cfg)
+    got = FlowEngine(cfg).process(ev)
+
+    ov = orc.r_local > 0
+    gv = np.asarray(got.r_local) > 0
+    agreement = float((ov == gv).mean())
+    both = ov & gv
+    gt = _true_vectors(got)[both]
+    ot = _true_vectors(orc)[both]
+    aee_px_ms = float(np.mean(np.linalg.norm(gt - ot, axis=1)) / 1e3)
+    dot = (gt * ot).sum(1)
+    den = np.linalg.norm(gt, axis=1) * np.linalg.norm(ot, axis=1)
+    ang = np.degrees(np.arccos(np.clip(dot / np.maximum(den, 1e-30), -1, 1)))
+    scale_match = float(
+        (np.asarray(got.scale)[both] == orc.scale[both]).mean())
+
+    # measured (round 3): agreement .964, AEE .037 px/ms, ang mean 3.18,
+    # p95 5.37, scale match .41 - thresholds leave ~15-30% margin
+    assert agreement >= 0.94, agreement
+    assert aee_px_ms < 0.10, aee_px_ms
+    assert float(ang.mean()) < 4.0, ang.mean()
+    assert float(np.percentile(ang, 95)) < 6.5, np.percentile(ang, 95)
+    assert scale_match >= 0.35, scale_match
+
+
 def test_streaming_continuation_equals_one_shot(bar_events):
     """process() called in pieces must equal one call (state carry)."""
     cfg = FlowConfig(width=64, height=64, chunk_size=32, steps_per_scan=2)
