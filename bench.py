@@ -59,7 +59,13 @@ def main():
     n_calls = int(os.environ.get("FARMS_BENCH_CALLS", 16))
     e2e_calls = int(os.environ.get("FARMS_BENCH_E2E_CALLS", 4))
     n = m * spc  # events per scan call
-    cfg = FlowConfig(width=320, height=320, chunk_size=m, use_dense=True)
+    # f16 wire: 9 B/event D2H (both component pairs f16-packed + aux
+    # byte); validated at the operating point by
+    # tests/test_golden.py::test_chunked_accuracy_operating_point[f16]
+    wire = os.environ.get("FARMS_BENCH_WIRE", "f16")
+    phases = int(os.environ.get("FARMS_BENCH_PHASES", 1))
+    cfg = FlowConfig(width=320, height=320, chunk_size=m, use_dense=True,
+                     wire=wire, sub_phases=phases)
 
     ev = synthetic_random_events(n, width=320, height=320, rate_hz=5e6,
                                  seed=0)
@@ -82,7 +88,7 @@ def main():
     # last output (which depends on the whole state chain) is the fence.
     state = init_state(cfg)
     state, out = scan_chunk(state, chunks[0], cfg)
-    checksum = float(jnp.sum(out[:, 0, :]))
+    checksum = float(jnp.sum(out[0]))
     for c in chunks:  # materialize every shifted chunk before timing: a
         # full-buffer reduction (not a one-element fetch) is the fence,
         # since block_until_ready is unreliable through the remote tunnel
@@ -97,7 +103,7 @@ def main():
         for c in chunks:
             state, out = scan_chunk(state, c, cfg)
             outs.append(out)
-        checksum = float(jnp.sum(outs[-1][:, 0, :]))
+        checksum = float(jnp.sum(outs[-1][0]))
         dt = time.perf_counter() - t0
         best = max(best, n_calls * n / dt)
 

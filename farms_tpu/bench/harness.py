@@ -39,14 +39,14 @@ class BenchResult:
 def _time_resident(engine: FlowEngine, ev: EventBatch, reps: int = 2) -> float:
     fn, n = engine.process_resident(ev)
     out = fn()
-    float(jnp.sum(out[:, 0, :]))  # warmup + force materialization
+    float(jnp.sum(out[0]))  # warmup + force materialization
     best = 0.0
     for _ in range(reps):
         engine.reset()
         fn, n = engine.process_resident(ev)
         t0 = time.perf_counter()
         out = fn()
-        float(jnp.sum(out[:, 0, :]))
+        float(jnp.sum(out[0]))
         best = max(best, n / (time.perf_counter() - t0))
     return best
 

@@ -56,6 +56,16 @@ class FlowConfig:
     chunk_size: int = 2048        # events per micro-step (static shape)
     steps_per_scan: int = 8       # micro-steps fused into one lax.scan/jit call
 
+    # Sub-phases per micro-step: the chunk's lanes split into this many
+    # chronological groups, each scattered + flow-computed + pooled in
+    # sequence within the same jit step. Cuts co-batch visibility error
+    # (each phase sees every earlier phase's surface writes, and the
+    # staleness kill re-runs at each phase start) at the cost of running
+    # the dense stencil stages sub_phases times per chunk. chunk_size /
+    # sub_phases is the effective causality granularity; see ACCURACY.md
+    # for the measured error-vs-throughput frontier.
+    sub_phases: int = 1
+
     # --- compute path selection ---
     # dense=True (default): per-pixel stencil formulation (ops/dense_flow.py)
     # - the TPU fast path; per-event random access is limited to the initial
@@ -69,6 +79,19 @@ class FlowConfig:
     # BASELINE geometries; the kernels are gridded over row bands). False
     # forces the XLA dense formulation; True forces Pallas.
     use_pallas: bool | None = None
+
+    # --- device->host wire format for per-event outputs ---
+    # The engine ships 4 flow components + a validity/scale byte per event
+    # and derives the magnitude/angle output columns (R/Theta local and
+    # true, vFlow.cpp:370-396) on the host - they are pure functions of
+    # the shipped components, and host<->device bandwidth, not compute, is
+    # the end-to-end bottleneck (see bench.py's two lanes).
+    #   "f32": vx, vy, true_vx, true_vy as f32 + 1 aux byte (17 B/event)
+    #   "f16": both component pairs packed as f16 bit-halves (9 B/event);
+    #          ~0.05% component quantization, validated against the
+    #          accuracy budget at the benchmark operating point by
+    #          tests/test_golden.py::test_chunked_accuracy_operating_point
+    wire: str = "f32"
 
     # --- internal: padded device-array geometry (sharded engines) ---
     # Sharded engines pad the surface arrays up to a multiple of the mesh
@@ -90,6 +113,16 @@ class FlowConfig:
         object.__setattr__(
             self, "filter_size", normalize_filter_size(self.filter_size)
         )
+        if self.sub_phases < 1 or self.chunk_size % self.sub_phases:
+            raise ValueError(
+                f"sub_phases {self.sub_phases} must be >= 1 and divide "
+                f"chunk_size {self.chunk_size}")
+        if self.wire not in ("f32", "f16"):
+            raise ValueError(f"wire must be 'f32' or 'f16', got {self.wire}")
+        if self.num_scales > 127:
+            raise ValueError(
+                "wire aux byte encodes the scale id in 7 bits; "
+                f"{self.num_scales} scales do not fit")
         if self.padded_width is not None and self.padded_width < self.width:
             raise ValueError("padded_width < width")
         if self.padded_height is not None and self.padded_height < self.height:

@@ -33,7 +33,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from farms_tpu.config import FlowConfig
 from farms_tpu.events.io import EventBatch
 from farms_tpu.ops.dense_flow import dense_aperture, dense_local_flow, onehot_gather
-from farms_tpu.pipeline.engine import FlowEngine
+from farms_tpu.pipeline.engine import FlowEngine, wire_maps, wire_pack
 from farms_tpu.state.surfaces import SurfaceState, kill_stale_flow
 
 
@@ -124,27 +124,17 @@ def halo_micro_step(state: SurfaceState, batch, cfg: FlowConfig, n: int):
     tvx_map, tvy_map, scale_map = dense_aperture(
         len_ext, vx_ext, vy_ext, cfg, halo=A)
 
-    r_true_map = jnp.sqrt(tvx_map * tvx_map + tvy_map * tvy_map)
-    theta_true_map = jnp.arctan2(tvy_map, tvx_map)
-    out_maps = jnp.stack(
-        [
-            jnp.where(gate_map, r_true_map, 0.0),
-            jnp.where(gate_map, theta_true_map, 0.0),
-            vx_map,
-            vy_map,
-            jnp.where(gate_map, len_map, 0.0),
-            jnp.where(gate_map, theta_map, 0.0),
-            jnp.where(gate_map, scale_map, 0).astype(jnp.float32),
-        ],
-        axis=0,
-    )
-    out_maps = jnp.nan_to_num(out_maps, nan=0.0, posinf=0.0, neginf=0.0)
+    out_maps = wire_maps(gate_map, vx_map, vy_map, tvx_map, tvy_map,
+                         scale_map, cfg)
 
-    # ---- per-event gather: owner shard contributes, psum combines ----
+    # ---- per-event gather: owner shard contributes, psum combines the
+    # f32 lanes (exactly one shard is non-zero per lane), then the wire
+    # pack runs on the replicated result ----
     safe_lx = jnp.clip(lx, 0, rows - 1)
-    out = onehot_gather(out_maps, safe_lx, y, rows, cfg.height)
-    out = jnp.where(in_core[None, :], out, 0.0)
-    out = jax.lax.psum(out, "tx")
+    lanes = onehot_gather(out_maps, safe_lx, y, rows, cfg.height)
+    lanes = jnp.where(in_core[None, :], lanes, 0.0)
+    lanes = jax.lax.psum(lanes, "tx")
+    out = wire_pack(lanes[0], lanes[1], lanes[2], lanes[3], lanes[4], cfg)
 
     new_state = SurfaceState(t_surf, epoch, flow_len, flow_vx, flow_vy,
                              state.step + 1)
@@ -191,7 +181,7 @@ class HaloFlowEngine(FlowEngine):
             functools.partial(halo_micro_step, cfg=cfg, n=n),
             mesh=mesh,
             in_specs=(state_specs, P(None, None)),
-            out_specs=(state_specs, P(None, None)),
+            out_specs=(state_specs, (P(None, None), P(None))),
             check_vma=False,
         )
 

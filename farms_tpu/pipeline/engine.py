@@ -9,9 +9,11 @@ checkpoint/resume mechanism: the surface pytree *is* the whole state).
 
 Host<->device traffic is packed: one int32 [steps, rows, m] upload per
 call — rows=5 (x, y, t, lane_valid, winner) or the compact rows=2 layout
-(flat index | winner<<30, t; 8 bytes/event) — and one f32 [steps, 7, m]
-download (the computed output columns), so throughput is bounded by
-bandwidth rather than per-array dispatch latency. The device-resident path (`process` with the
+(flat index | winner<<30, t; 8 bytes/event) — and one wire-format download
+(i32 [steps, C, m] flow components + u8 [steps, m] validity/scale; 9-17
+bytes/event, see wire_pack; the magnitude/angle columns are derived
+host-side), so throughput is bounded by bandwidth rather than per-array
+dispatch latency. The device-resident path (`process` with the
 default settings uploads everything first, runs every micro-step, then
 downloads once) mirrors the reference's measurement methodology: its timed
 loop also starts from events already in RAM vectors and appends outputs to
@@ -43,20 +45,96 @@ from farms_tpu.ops.dense_flow import (
 )
 from farms_tpu.ops.local_flow import local_flow_batch
 from farms_tpu.ops.pallas import kernels as pallas_kernels
-from farms_tpu.state.surfaces import SurfaceState, init_state, kill_stale_flow
+from farms_tpu.state.surfaces import SurfaceState, init_state
 from farms_tpu.utils import nativeio
 
 N_OUT_COLS = 7  # r_true, theta_true, vx, vy, r_local, theta_local, scale
 
 
+# --------------------------------------------------------------------------
+# device->host wire format
+#
+# Only the 4 flow components cross the wire (vx, vy, gated true_vx/true_vy)
+# plus one aux byte (valid flag in bit 7, scale id in bits 0-6); the
+# magnitude/angle output columns (vFlow.cpp:370-396) are pure functions of
+# these and are derived on the host (engine._unpack_outputs). 17 B/event
+# ("f32") or 13 B/event ("f16" packed true-flow pair) instead of the 28 B
+# of shipping all 7 f32 columns - D2H bandwidth is the e2e bottleneck.
+# --------------------------------------------------------------------------
+
+def _f16_pair(a, b):
+    """Pack two f32 lanes into one i32 lane of f16 bit-halves.
+
+    Saturating f32->f16 (clip to the f16 finite range so host decode never
+    sees spurious inf; NaN propagates through clip unchanged).
+    """
+    lo = jax.lax.bitcast_convert_type(
+        jnp.clip(a, -65504.0, 65504.0).astype(jnp.float16),
+        jnp.uint16).astype(jnp.uint32)
+    hi = jax.lax.bitcast_convert_type(
+        jnp.clip(b, -65504.0, 65504.0).astype(jnp.float16),
+        jnp.uint16).astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type(lo | (hi << 16), jnp.int32)
+
+
+def wire_pack(vx, vy, tvx_g, tvy_g, aux_f, cfg: FlowConfig):
+    """Pack per-lane outputs into (main i32 [C, m], aux u8 [m]).
+
+    `tvx_g`/`tvy_g` are the true-flow components pre-gated to 0 on invalid
+    lanes; `aux_f` is the aux byte as f32 (128 * valid + scale_id).
+    """
+    aux = aux_f.astype(jnp.uint8)
+    if cfg.wire == "f16":
+        main = jnp.stack(
+            [_f16_pair(vx, vy), _f16_pair(tvx_g, tvy_g)], axis=0)
+    else:
+        bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
+        main = jnp.stack([bc(vx), bc(vy), bc(tvx_g), bc(tvy_g)], axis=0)
+    return main, aux
+
+
+def wire_maps(gate_map, vx_map, vy_map, tvx_map, tvy_map, scale_map,
+              cfg: FlowConfig):
+    """Stack the dense per-pixel maps the wire needs: [5, W, H] f32.
+
+    Rows: vx, vy, gated true_vx, gated true_vy, aux byte value. NaN/inf
+    scrubbed (non-finite values only arise with min_evts_on_plane <= 0).
+    """
+    aux_f = jnp.where(
+        gate_map, 128 + scale_map // cfg.window_jump, 0).astype(jnp.float32)
+    maps = jnp.stack(
+        [
+            vx_map,
+            vy_map,
+            jnp.where(gate_map, tvx_map, 0.0),
+            jnp.where(gate_map, tvy_map, 0.0),
+        ],
+        axis=0,
+    )
+    maps = jnp.nan_to_num(maps, nan=0.0, posinf=0.0, neginf=0.0)
+    return jnp.concatenate([maps, aux_f[None]], axis=0)
+
+
+def wire_n_main_rows(cfg: FlowConfig) -> int:
+    return 2 if cfg.wire == "f16" else 4
+
+
 def micro_step(state: SurfaceState, batch, cfg: FlowConfig):
     """Process one micro-batch of events against the carried surfaces.
 
-    `batch` is either an int32 [m, 4] packed array with columns
-    (x, y, t, lane_valid) or an (x, y, t, lane_valid) tuple. Returns the
-    updated state and an f32 [m, 7] packed output block.
+    `batch` is an int32 [rows, m] packed array (rows=5 explicit or rows=2
+    compact; see below) or an (x, y, t, lane_valid) tuple. Returns the
+    updated state and the wire output pair (i32 [C, m], u8 [m]).
+
+    With cfg.sub_phases = P > 1 the chunk's lanes are processed as P
+    chronological groups in sequence: each group's events are scattered
+    and flow-computed against the surfaces left by every earlier group
+    (and the staleness kill re-runs at each group's start), so the
+    effective co-batch visibility granularity is chunk_size / P while the
+    scatter volume stays one write per event.
     """
     is_winner = None
+    lane_valid = None
     if isinstance(batch, (tuple, list)):
         x, y, t, lane_valid = batch
         lane_valid = lane_valid.astype(jnp.bool_)
@@ -73,13 +151,13 @@ def micro_step(state: SurfaceState, batch, cfg: FlowConfig):
         xy = word & jnp.int32(0x3FFFFFFF)
         x = xy // jnp.int32(cfg.height)
         y = xy - x * jnp.int32(cfg.height)
-        lane_valid = None  # only the device-winner path below needs it
     else:
         # packed int32 [5, m]: the component axis is major so each row is a
         # well-tiled [m] vector (a minor axis of 5 would be padded to 128
         # lanes on TPU - a 25x memory blowup). Channel 4 marks batch
-        # winners (the last event at each pixel), resolved on the host
-        # during packing so every device scatter has unique indices.
+        # winners (the last event at each pixel within a sub-phase group),
+        # resolved on the host during packing so every device scatter has
+        # unique indices.
         x, y, t = batch[0], batch[1], batch[2]
         lane_valid = batch[3].astype(jnp.bool_)
         if batch.shape[0] > 4:
@@ -88,45 +166,14 @@ def micro_step(state: SurfaceState, batch, cfg: FlowConfig):
     # device arrays; semantic border rules live in the dense ops
     W, H = cfg.array_width, cfg.array_height
     m = x.shape[0]
-    idx = jnp.arange(m, dtype=jnp.int32)
-    t1 = t + 1     # stamp1 encoding (see state/surfaces.py)
+    P = cfg.sub_phases if m % cfg.sub_phases == 0 else 1
+    mp = m // P
 
-    # ---- permanent staleness kill (exact; see state/surfaces.py) ----
-    state = kill_stale_flow(state, t[0], cfg)
-
-    # ---- scatter events into the time surface ----
-    # Only batch winners write (non-winners would be overwritten anyway:
-    # last-write-wins, vFlow.cpp:264-273); invalid lanes are redirected out
-    # of bounds and dropped. With host-resolved winners all indices are
-    # unique, which lets XLA skip scatter conflict handling. Two scatters
-    # per chunk: stamp1 (which doubles as the touched mask) and the write
-    # epoch (from which `written` is derived); scatters are the dominant
-    # per-event cost (~7.5 ns each measured), so fewer is faster.
-    if is_winner is not None:
-        wsx = jnp.where(is_winner, x, W)
-        t_surf = state.t_surf.at[wsx, y].set(t1, mode="drop",
-                                             unique_indices=True)
-        epoch = state.epoch.at[wsx, y].set(state.step, mode="drop",
-                                           unique_indices=True)
-        written = epoch == state.step
-    else:
-        # device-side winner resolution (tuple-batch callers): the winner
-        # at each pixel is the *latest lane* (lanes are chronological), so
-        # resolve by lane index, never by a stamp max - stamp1 is
-        # uint32-in-int32 and a signed max picks wrong once stamps >= 2^31
-        sx = jnp.where(lane_valid, x, W)
-        slot = jnp.full((W, H), -1, dtype=jnp.int32)
-        slot = slot.at[sx, y].max(idx, mode="drop")
-        written = slot >= 0
-        is_winner = (slot[x, y] == idx) & lane_valid
-        wsx = jnp.where(is_winner, x, W)
-        t_surf = state.t_surf.at[wsx, y].set(t1, mode="drop",
-                                             unique_indices=True)
-        epoch = jnp.where(written, state.step, state.epoch)
+    t_surf = state.t_surf
+    epoch = state.epoch
+    flow_len, flow_vx, flow_vy = state.flow_len, state.flow_vx, state.flow_vy
 
     if cfg.use_dense:
-        # ---- dense per-pixel path (ops/dense_flow.py), with the two hot
-        # stages optionally fused into Pallas kernels ----
         if cfg.use_pallas is None:
             # auto: real TPU only - on CPU the kernels would run in the
             # (slow) interpreter, so tests opt in explicitly instead
@@ -135,87 +182,119 @@ def micro_step(state: SurfaceState, batch, cfg: FlowConfig):
             pk_apert = on_tpu and pallas_kernels.aperture_supported(cfg)
         else:
             pk_local = pk_apert = cfg.use_pallas
-        if pk_local:
-            vx_map, vy_map, gate_map, len_map, theta_map = (
-                pallas_kernels.local_flow_pallas(state.t_surf, t_surf, cfg))
+
+    lanes_out = []
+    for p in range(P):
+        sl = slice(p * mp, (p + 1) * mp)
+        xs, ys, ts = x[sl], y[sl], t[sl]
+        t1s = ts + 1     # stamp1 encoding (see state/surfaces.py)
+        ep_val = state.step * P + p   # unique, monotone write epoch
+
+        # ---- permanent staleness kill at phase start (exact; see
+        # state/surfaces.py kill_stale_flow) ----
+        age = (ts[0] + 1) - t_surf
+        stale = (age >= cfg.kill_old_flow_time_us) | (age < 0)
+        flow_len = jnp.where(stale, 0.0, flow_len)
+
+        # ---- scatter events into the time surface ----
+        # Only group winners write (non-winners would be overwritten
+        # anyway: last-write-wins, vFlow.cpp:264-273); invalid lanes are
+        # redirected out of bounds and dropped. With host-resolved winners
+        # all indices are unique, which lets XLA skip scatter conflict
+        # handling. Two scatters per group: stamp1 (which doubles as the
+        # touched mask) and the write epoch (from which `written` is
+        # derived); scatters are the dominant per-event cost (~7.5 ns
+        # each measured), so fewer is faster.
+        t_pre = t_surf
+        if is_winner is not None:
+            win = is_winner[sl]
+            wsx = jnp.where(win, xs, W)
+            t_surf = t_surf.at[wsx, ys].set(t1s, mode="drop",
+                                            unique_indices=True)
+            epoch = epoch.at[wsx, ys].set(ep_val, mode="drop",
+                                          unique_indices=True)
+            written = epoch == ep_val
         else:
-            vx_map, vy_map, gate_map, len_map, theta_map = dense_local_flow(
-                state.t_surf, t_surf, cfg)
+            # device-side winner resolution (tuple-batch callers): the
+            # winner at each pixel is the *latest lane* (lanes are
+            # chronological), so resolve by lane index, never by a stamp
+            # max - stamp1 is uint32-in-int32 and a signed max picks wrong
+            # once stamps >= 2^31
+            lv = lane_valid[sl]
+            idx = jnp.arange(mp, dtype=jnp.int32)
+            sx = jnp.where(lv, xs, W)
+            slot = jnp.full((W, H), -1, dtype=jnp.int32)
+            slot = slot.at[sx, ys].max(idx, mode="drop")
+            written = slot >= 0
+            win = (slot[xs, ys] == idx) & lv
+            wsx = jnp.where(win, xs, W)
+            t_surf = t_surf.at[wsx, ys].set(t1s, mode="drop",
+                                            unique_indices=True)
+            epoch = jnp.where(written, ep_val, epoch)
 
-        # flow-surface writes for every pixel written this batch
-        # (vFlow.cpp:349-356 valid / 398-402 invalid)
-        flow_len = jnp.where(
-            written, jnp.where(gate_map, len_map, 0.0), state.flow_len)
-        flow_vx = jnp.where(
-            written, jnp.where(gate_map, vx_map, 0.0), state.flow_vx)
-        flow_vy = jnp.where(
-            written, jnp.where(gate_map, vy_map, 0.0), state.flow_vy)
+        if cfg.use_dense:
+            # ---- dense per-pixel path (ops/dense_flow.py), with the two
+            # hot stages optionally fused into Pallas kernels ----
+            if pk_local:
+                vx_map, vy_map, gate_map, len_map, theta_map = (
+                    pallas_kernels.local_flow_pallas(t_pre, t_surf, cfg))
+            else:
+                vx_map, vy_map, gate_map, len_map, theta_map = (
+                    dense_local_flow(t_pre, t_surf, cfg))
 
-        if pk_apert:
-            tvx_map, tvy_map, scale_map = pallas_kernels.aperture_pallas(
-                flow_len, flow_vx, flow_vy, cfg)
-        else:
-            tvx_map, tvy_map, scale_map = dense_aperture(
-                flow_len, flow_vx, flow_vy, cfg)
+            # flow-surface writes for every pixel written this group
+            # (vFlow.cpp:349-356 valid / 398-402 invalid)
+            flow_len = jnp.where(
+                written, jnp.where(gate_map, len_map, 0.0), flow_len)
+            flow_vx = jnp.where(
+                written, jnp.where(gate_map, vx_map, 0.0), flow_vx)
+            flow_vy = jnp.where(
+                written, jnp.where(gate_map, vy_map, 0.0), flow_vy)
 
-        r_true_map = jnp.sqrt(tvx_map * tvx_map + tvy_map * tvy_map)
-        theta_true_map = jnp.arctan2(tvy_map, tvx_map)
-        out_maps = jnp.stack(
-            [
-                jnp.where(gate_map, r_true_map, 0.0),
-                jnp.where(gate_map, theta_true_map, 0.0),
-                vx_map,
-                vy_map,
-                jnp.where(gate_map, len_map, 0.0),
-                jnp.where(gate_map, theta_map, 0.0),
-                jnp.where(gate_map, scale_map, 0).astype(jnp.float32),
-            ],
-            axis=0,
+            if pk_apert:
+                tvx_map, tvy_map, scale_map = pallas_kernels.aperture_pallas(
+                    flow_len, flow_vx, flow_vy, cfg)
+            else:
+                tvx_map, tvy_map, scale_map = dense_aperture(
+                    flow_len, flow_vx, flow_vy, cfg)
+
+            maps = wire_maps(gate_map, vx_map, vy_map, tvx_map, tvy_map,
+                             scale_map, cfg)
+            lanes_out.append(onehot_gather(maps, xs, ys, W, H))  # [5, mp]
+            continue
+
+        # ---- per-event reference path ----
+        raw_vx, raw_vy, gate_valid, length, theta = local_flow_batch(
+            t_pre, t_surf, xs, ys, t1s, cfg
         )
-        # non-finite values only arise with min_evts_on_plane <= 0
-        # (dtdp == 0 planes); scrub them so outputs stay finite
-        out_maps = jnp.nan_to_num(out_maps, nan=0.0, posinf=0.0, neginf=0.0)
-        out = onehot_gather(out_maps, x, y, W, H)            # [7, m]
-        new_state = SurfaceState(t_surf, epoch, flow_len, flow_vx, flow_vy,
-                                 state.step + 1)
-        return new_state, out
 
-    # ---- per-event reference path ----
-    raw_vx, raw_vy, gate_valid, length, theta = local_flow_batch(
-        state.t_surf, t_surf, x, y, t1, cfg
-    )
+        # flow-surface writes (vFlow.cpp:349-356 valid / 398-402 invalid)
+        wx = jnp.where(win, xs, W)
+        flow_len = flow_len.at[wx, ys].set(
+            jnp.where(gate_valid, length, 0.0), mode="drop")
+        flow_vx = flow_vx.at[wx, ys].set(
+            jnp.where(gate_valid, raw_vx, 0.0), mode="drop")
+        flow_vy = flow_vy.at[wx, ys].set(
+            jnp.where(gate_valid, raw_vy, 0.0), mode="drop")
 
-    # ---- flow-surface writes (vFlow.cpp:349-356 valid / 398-402 invalid) ----
-    wx = jnp.where(is_winner, x, W)
-    flow_len = state.flow_len.at[wx, y].set(
-        jnp.where(gate_valid, length, 0.0), mode="drop")
-    flow_vx = state.flow_vx.at[wx, y].set(
-        jnp.where(gate_valid, raw_vx, 0.0), mode="drop")
-    flow_vy = state.flow_vy.at[wx, y].set(
-        jnp.where(gate_valid, raw_vy, 0.0), mode="drop")
+        # ---- multi-scale aperture correction ----
+        integral = build_integral(flow_len, flow_vx, flow_vy)
+        true_vx, true_vy, scale = aperture_batch(
+            integral, flow_vx, flow_vy, xs, ys, cfg
+        )
 
-    # ---- multi-scale aperture correction ----
-    integral = build_integral(flow_len, flow_vx, flow_vy)
-    true_vx, true_vy, scale = aperture_batch(
-        integral, flow_vx, flow_vy, x, y, cfg
-    )
+        # ---- output lanes (vFlow.cpp:370-396; R/Theta derived on host) ----
+        aux_f = jnp.where(
+            gate_valid, 128 + scale // cfg.window_jump, 0
+        ).astype(jnp.float32)
+        lanes_out.append(jnp.stack(
+            [raw_vx, raw_vy,
+             jnp.where(gate_valid, true_vx, 0.0),
+             jnp.where(gate_valid, true_vy, 0.0),
+             aux_f], axis=0))
 
-    # ---- output columns (vFlow.cpp:370-396) ----
-    r_true = jnp.sqrt(true_vx * true_vx + true_vy * true_vy)
-    theta_true = jnp.arctan2(true_vy, true_vx)
-    # packed [7, m]: component axis major (see input packing note)
-    out = jnp.stack(
-        [
-            jnp.where(gate_valid, r_true, 0.0),
-            jnp.where(gate_valid, theta_true, 0.0),
-            raw_vx,
-            raw_vy,
-            jnp.where(gate_valid, length, 0.0),
-            jnp.where(gate_valid, theta, 0.0),
-            jnp.where(gate_valid, scale, 0).astype(jnp.float32),
-        ],
-        axis=0,
-    )
+    lanes = lanes_out[0] if P == 1 else jnp.concatenate(lanes_out, axis=1)
+    out = wire_pack(lanes[0], lanes[1], lanes[2], lanes[3], lanes[4], cfg)
     new_state = SurfaceState(t_surf, epoch, flow_len, flow_vx, flow_vy,
                              state.step + 1)
     return new_state, out
@@ -226,8 +305,8 @@ def scan_chunk(state: SurfaceState, chunk, cfg: FlowConfig):
     """Run several micro-steps under one jit via lax.scan.
 
     `chunk` is int32 [n_steps, rows, m] with rows=5 (x, y, t, lane_valid,
-    winner) or the compact rows=2 layout (see micro_step); output is
-    f32 [n_steps, 7, m].
+    winner) or the compact rows=2 layout (see micro_step); output is the
+    wire pair (i32 [n_steps, C, m], u8 [n_steps, m]) - see wire_pack.
     """
     def body(st, batch):
         return micro_step(st, batch, cfg)
@@ -300,7 +379,7 @@ class FlowEngine:
             # None (library absent) falls through to the NumPy path
             nat = nativeio.pack_compact(
                 ev.x, ev.y, ev.t, int(self._t0 or 0), cfg.width, cfg.height,
-                m, n_calls * spc)
+                m, n_calls * spc, subphases=cfg.sub_phases)
             if nat is not None:
                 return nat.reshape(n_calls, spc, 2, m), n
 
@@ -320,18 +399,20 @@ class FlowEngine:
         yp = padded(y, 0)
         tp = padded(t, t[-1] if n else 0)
 
-        # host-side winner resolution per micro-batch: the last event at
-        # each pixel wins (vFlow.cpp:264-273). NumPy fancy-index assignment
+        # host-side winner resolution per sub-phase group (the scatter
+        # granularity, micro_step): the last event at each pixel within a
+        # group wins (vFlow.cpp:264-273). NumPy fancy-index assignment
         # keeps the last write, giving an O(m) resolution; device scatters
         # then have unique indices. Padded (invalid) lanes sit at x=y=0;
         # route them to a sentinel bucket so they cannot steal pixel (0,0)
         # from a real event.
+        blk = m // cfg.sub_phases
         flat = xp * np.int64(cfg.height) + yp
         flat[n:] = cfg.width * cfg.height
-        flat = flat.reshape(-1, m)
-        lanes = np.arange(m)
+        flat = flat.reshape(-1, blk)
+        lanes = np.arange(blk)
         seen = np.empty(cfg.width * cfg.height + 1, dtype=np.int64)
-        winner = np.empty((flat.shape[0], m), dtype=np.int32)
+        winner = np.empty((flat.shape[0], blk), dtype=np.int32)
         for b in range(flat.shape[0]):
             seen[flat[b]] = lanes
             winner[b] = seen[flat[b]] == lanes
@@ -363,47 +444,98 @@ class FlowEngine:
         return packed, n
 
     def _unpack_outputs(self, out_blocks, ev: EventBatch, n: int) -> FlowOutput:
-        # blocks are [steps, 7, m] -> rows of (event, column); one
-        # transpose copy, then zero-copy f32 column views (the previous
-        # whole-matrix f64 cast was ~40% of host unpack time on the e2e
-        # lane; FlowOutput consumers upcast on demand, e.g. as_matrix)
-        cols = np.concatenate(
-            [
-                np.asarray(o).transpose(0, 2, 1).reshape(-1, N_OUT_COLS)
-                for o in out_blocks
-            ]
-        )[:n]
+        """Decode wire blocks [(main i32 [steps,C,m], aux u8 [steps,m])]
+        into the 11-column FlowOutput.
+
+        The flow components cross the wire; the magnitude/angle columns
+        (R/Theta local and true, vFlow.cpp:370-396) are derived here with
+        f32 numpy math - the same IEEE ops the device used to apply, so
+        chunk-1 parity against the reference semantics is preserved.
+        Invalid lanes keep their raw (possibly NaN) vx/vy and zeros
+        elsewhere (vFlow.cpp:390-395): the true components arrive
+        pre-gated to 0 and the local R/Theta are masked by the valid bit.
+        """
+        cfg = self.cfg
+        C = wire_n_main_rows(cfg)
+        main = np.concatenate(
+            [np.asarray(mo).transpose(1, 0, 2).reshape(C, -1)
+             for mo, _ in out_blocks], axis=1)[:, :n]
+        aux = np.concatenate(
+            [np.asarray(ao).reshape(-1) for _, ao in out_blocks])[:n]
+        if cfg.wire == "f16":
+            p0 = main[0].view(np.uint32)
+            p1 = main[1].view(np.uint32)
+            vx = (p0 & 0xFFFF).astype(np.uint16).view(np.float16).astype(np.float32)
+            vy = (p0 >> 16).astype(np.uint16).view(np.float16).astype(np.float32)
+            tvx = (p1 & 0xFFFF).astype(np.uint16).view(np.float16).astype(np.float32)
+            tvy = (p1 >> 16).astype(np.uint16).view(np.float16).astype(np.float32)
+        else:
+            vx = main[0].view(np.float32)
+            vy = main[1].view(np.float32)
+            tvx = main[2].view(np.float32)
+            tvy = main[3].view(np.float32)
+        valid = (aux & 0x80) != 0
+        scale = (aux & 0x7F).astype(np.int32) * cfg.window_jump
+        with np.errstate(invalid="ignore", over="ignore"):
+            r_true = np.sqrt(tvx * tvx + tvy * tvy)
+            theta_true = np.arctan2(tvy, tvx)
+            length = np.sqrt(vx * vx + vy * vy)
+            theta_l = np.arctan2(vy, vx)
+        zero = np.float32(0.0)
         t = (ev.t.astype(np.uint32) - self._t0).astype(np.uint32)
         return FlowOutput(
             x=ev.x.astype(np.int32),
             y=ev.y.astype(np.int32),
             t=t,
             pol=ev.pol.astype(np.int32),
-            r_true=cols[:, 0],
-            theta_true=cols[:, 1],
-            vx=cols[:, 2],
-            vy=cols[:, 3],
-            r_local=cols[:, 4],
-            theta_local=cols[:, 5],
-            scale=cols[:, 6].astype(np.int32),
+            r_true=r_true,
+            theta_true=theta_true,
+            vx=vx,
+            vy=vy,
+            r_local=np.where(valid, length, zero),
+            theta_local=np.where(valid, theta_l, zero),
+            scale=scale,
         )
 
     # ---- drivers -----------------------------------------------------------
-    def process(self, ev: EventBatch) -> FlowOutput:
+    # Concurrent D2H fetch streams: the remote-tunnel transport sustains
+    # ~27 MB/s on one stream but ~50 MB/s on two (scripts/_prof_wire.py),
+    # and uploads overlap downloads (full duplex), so process() drains
+    # outputs on a small thread pool while the main thread keeps packing
+    # and dispatching the next calls.
+    _FETCH_THREADS = 3
+    # target events per scan call for the streaming pipeline: large chunks
+    # split into several in-flight calls so D2H fetches overlap the next
+    # call's upload + compute (small chunks already batch steps_per_scan
+    # micro-steps per call and are unaffected)
+    _PIPELINE_EVENTS = 131072
+
+    def process(self, ev: EventBatch,
+                steps_per_call: int | None = None) -> FlowOutput:
         """Process an event stream (or a continuation of one).
 
-        All calls are dispatched asynchronously; outputs stay on device
-        until every chunk is in flight, so transfers overlap compute.
+        Calls are dispatched asynchronously; each call's output arrays are
+        handed to fetch threads as soon as they are in flight, so D2H
+        transfers overlap both the next call's upload and its compute.
         """
         n = len(ev)
         if n == 0:
             return _empty_output()
-        packed, n = self.pack(ev, compact=self._compact_ok)
-        outs = []
-        for c in range(packed.shape[0]):
-            self.state, out = self._dispatch(jnp.asarray(packed[c]))
-            outs.append(out)
-        return self._unpack_outputs(outs, ev, n)
+        if steps_per_call is None:
+            steps_per_call = max(1, min(
+                self.cfg.steps_per_scan,
+                -(-self._PIPELINE_EVENTS // self.cfg.chunk_size)))
+        packed, n = self.pack(ev, steps_per_call=steps_per_call,
+                              compact=self._compact_ok)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=self._FETCH_THREADS) as pool:
+            futs = []
+            for c in range(packed.shape[0]):
+                self.state, out = self._dispatch(jnp.asarray(packed[c]))
+                futs.append(tuple(pool.submit(np.asarray, o) for o in out))
+            blocks = [tuple(f.result() for f in fs) for fs in futs]
+        return self._unpack_outputs(blocks, ev, n)
 
     def process_resident(self, ev: EventBatch):
         """Upload the whole stream once and run it as one device program.

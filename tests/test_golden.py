@@ -159,8 +159,13 @@ def test_serial_mode_matches_oracle_past_2e31(dense):
     assert _angular_err_deg(ref, got, m).max() < 0.01
 
 
-def test_chunked_accuracy_operating_point():
+@pytest.mark.parametrize("wire", ["f32", "f16"])
+def test_chunked_accuracy_operating_point(wire):
     """Pin the chunked-semantics error at the benchmark operating point.
+
+    Parametrized over both wire formats: the bench ships the f16 wire
+    (9 B/event, FlowConfig.wire), so the operating-point budget must hold
+    through its ~0.05% component quantization too.
 
     The headline bench runs chunk_size=65536 at ~4 M ev/s, i.e. a chunk
     spans ~33 freshness windows (KILL_OLD_FLOW_TIME=500 us,
@@ -203,7 +208,8 @@ def test_chunked_accuracy_operating_point():
     ratio = chunk / rate * 1e6 / 500.0
     assert ratio >= 32.8, f"fixture ratio {ratio:.1f} weaker than op point"
 
-    cfg = FlowConfig(width=W, height=H, chunk_size=chunk, steps_per_scan=4)
+    cfg = FlowConfig(width=W, height=H, chunk_size=chunk, steps_per_scan=4,
+                     wire=wire)
     orc = run_oracle(ev, cfg)
     got = FlowEngine(cfg).process(ev)
 

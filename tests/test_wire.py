@@ -1,0 +1,84 @@
+"""Wire-format tests: device->host output packing/decoding.
+
+The engine ships only the flow components + an aux validity/scale byte
+(pipeline/engine.py wire_pack) and derives the R/Theta columns host-side
+(engine._unpack_outputs). These tests pin the roundtrip for both wire
+precisions and the f16-vs-f32 quantization bound.
+"""
+import numpy as np
+import pytest
+
+from farms_tpu.config import FlowConfig
+from farms_tpu.events.io import synthetic_translating_bar
+from farms_tpu.pipeline.engine import FlowEngine
+
+
+def _run(wire: str):
+    cfg = FlowConfig(width=128, height=128, chunk_size=512,
+                     steps_per_scan=2, wire=wire)
+    ev = synthetic_translating_bar(width=128, height=128, bar_len=40,
+                                   duration_us=60_000, seed=3)
+    eng = FlowEngine(cfg)
+    return eng.process(ev)
+
+
+def test_wire_f32_columns_consistent():
+    """Host-derived R/Theta columns match their defining identities."""
+    out = _run("f32")
+    valid = out.r_true != 0
+    assert valid.any(), "fixture produced no valid flow"
+    np.testing.assert_allclose(
+        out.r_local[valid],
+        np.sqrt(out.vx[valid] ** 2 + out.vy[valid] ** 2), rtol=1e-6)
+    np.testing.assert_allclose(
+        out.theta_local[valid],
+        np.arctan2(out.vy[valid], out.vx[valid]), rtol=1e-6)
+    # invalid rows: zeros everywhere except raw vx/vy (vFlow.cpp:390-395)
+    inv = ~valid
+    assert (out.theta_true[inv] == 0).all()
+    assert (out.r_local[inv] == 0).all()
+    assert (out.theta_local[inv] == 0).all()
+    assert (out.scale[inv] == 0).all()
+    # scale ids decode to actual window sizes
+    cfg_scales = set(FlowConfig().scales)
+    assert set(np.unique(out.scale)) <= cfg_scales
+
+
+def test_wire_f16_matches_f32_within_quantization():
+    a = _run("f32")
+    b = _run("f16")
+    # validity and scale are exact (computed on device in f32, shipped as
+    # the aux byte either way)
+    np.testing.assert_array_equal(a.scale, b.scale)
+    np.testing.assert_array_equal(a.r_true != 0, b.r_true != 0)
+    valid = a.r_true != 0
+    # f16 mantissa: ~0.05% relative component error
+    for col in ("vx", "vy", "r_true", "r_local"):
+        av, bv = getattr(a, col)[valid], getattr(b, col)[valid]
+        np.testing.assert_allclose(bv, av, rtol=2e-3, atol=1e-6)
+    np.testing.assert_allclose(b.theta_true[valid], a.theta_true[valid],
+                               atol=2e-3)
+
+
+def test_wire_f16_nan_and_overflow_survive():
+    """NaN propagates; out-of-range components saturate, not inf."""
+    import jax.numpy as jnp
+    from farms_tpu.pipeline.engine import wire_pack
+
+    cfg = FlowConfig(wire="f16")
+    vx = jnp.asarray([1.5, np.nan, 1e9, -1e9], dtype=jnp.float32)
+    vy = jnp.asarray([-2.5, 0.0, 0.0, 0.0], dtype=jnp.float32)
+    z = jnp.zeros(4, jnp.float32)
+    main, aux = wire_pack(vx, vy, z, z, z, cfg)
+    p0 = np.asarray(main[0]).view(np.uint32)
+    got_vx = (p0 & 0xFFFF).astype(np.uint16).view(np.float16)
+    assert got_vx[0] == np.float16(1.5)
+    assert np.isnan(got_vx[1])
+    assert got_vx[2] == np.float16(65504.0)
+    assert got_vx[3] == np.float16(-65504.0)
+
+
+@pytest.mark.parametrize("bad", ["f64", "bf16", ""])
+def test_wire_validation(bad):
+    with pytest.raises(ValueError):
+        FlowConfig(wire=bad)
