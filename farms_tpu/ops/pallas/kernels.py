@@ -110,30 +110,40 @@ def _aperture_vmem_bytes(cfg: FlowConfig, tr: int) -> int:
 
 
 def _unpadded(cfg: FlowConfig) -> bool:
-    # the kernels assume array dims == semantic sensor dims; padded
-    # (sharded-engine) geometries take the XLA dense path instead
+    # micro_step's auto mode only picks the kernels for unpadded
+    # geometries: padded configs belong to sharded engines, where a
+    # pallas_call inside the GSPMD-partitioned step would force a gather.
+    # The explicit halo engine (parallel/halo.py) instead calls the
+    # kernels per shard inside shard_map with `halo`/`row_offset` args,
+    # gated by the VMEM-only checks below.
     return cfg.padded_width is None and cfg.padded_height is None
 
 
+def local_flow_vmem_ok(cfg: FlowConfig) -> bool:
+    return _local_vmem_bytes(cfg, _tile_rows(cfg)) <= _VMEM_BUDGET
+
+
+def aperture_vmem_ok(cfg: FlowConfig) -> bool:
+    return _aperture_vmem_bytes(cfg, _tile_rows(cfg)) <= _VMEM_BUDGET
+
+
 def local_flow_supported(cfg: FlowConfig) -> bool:
-    return (_unpadded(cfg)
-            and _local_vmem_bytes(cfg, _tile_rows(cfg)) <= _VMEM_BUDGET)
+    return _unpadded(cfg) and local_flow_vmem_ok(cfg)
 
 
 def aperture_supported(cfg: FlowConfig) -> bool:
-    return (_unpadded(cfg)
-            and _aperture_vmem_bytes(cfg, _tile_rows(cfg)) <= _VMEM_BUDGET)
+    return _unpadded(cfg) and aperture_vmem_ok(cfg)
 
 
 # --------------------------------------------------------------------------
 # local plane-fit flow
 # --------------------------------------------------------------------------
 
-def _local_flow_kernel(tq_hbm, tp_hbm,
+def _local_flow_kernel(off_ref, tq_hbm, tp_hbm,
                        acc_ref, a_ref, b_ref, dtdp_ref,
                        bq_ref, bp_ref, sem,
-                       *, cfg: FlowConfig, tr: int):
-    """One program computes a `tr`-row band of the sensor.
+                       *, cfg: FlowConfig, tr: int, Ha: int):
+    """One program computes a `tr`-row band of the sensor (or shard).
 
     The padded surfaces stay in HBM; the program DMAs its
     `tr + rup8(2R)`-row slab into VMEM scratch, then evaluates the
@@ -141,6 +151,12 @@ def _local_flow_kernel(tq_hbm, tp_hbm,
     temporaries are band-sized - Mosaic allocates every materialized
     value on a stack with limited reuse, and whole-sensor temporaries
     overflow the 16 MB VMEM (measured: ~110 MB for 320x320 single-block).
+
+    `off_ref` (SMEM) holds the global row of the band's first core row -
+    nonzero for sharded-tile callers (parallel/halo.py), where border
+    rules must use global coordinates. `Ha` is the array lane extent
+    (>= cfg.height when padded); semantic border masks always use the
+    cfg.width/height sensor bounds, so pad rows/lanes never validate.
     """
     W, H = cfg.width, cfg.height
     f = cfg.f_rad
@@ -161,9 +177,10 @@ def _local_flow_kernel(tq_hbm, tp_hbm,
     band_q = bq_ref[:]
     band_p = bp_ref[:]
 
-    t_c = band_p[R:R + tr, R:R + H]                    # i32 center stamps
-    px = jax.lax.broadcasted_iota(jnp.int32, (tr, H), 0) + row0
-    py = jax.lax.broadcasted_iota(jnp.int32, (tr, H), 1)
+    t_c = band_p[R:R + tr, R:R + Ha]                   # i32 center stamps
+    px = (jax.lax.broadcasted_iota(jnp.int32, (tr, Ha), 0) + row0
+          + off_ref[0])
+    py = jax.lax.broadcasted_iota(jnp.int32, (tr, Ha), 1)
     pxf = px.astype(jnp.float32)
     pyf = py.astype(jnp.float32)
     neg_ts = jnp.float32(-cfg.ts_to_sec)
@@ -175,12 +192,12 @@ def _local_flow_kernel(tq_hbm, tp_hbm,
         its D/ELI/U/V/YV per-offset maps, evaluated on the fly.
         """
         if ox == 0 and oy == 0:
-            zero = jnp.zeros((tr, H), jnp.float32)
+            zero = jnp.zeros((tr, Ha), jnp.float32)
             # eligibility: stamp1 not in {0, 1} - unsigned-domain test
             # (stamp1 wraps negative past 2^31), see ops/dense_flow.py
             return (zero, (t_c != 0) & (t_c != 1), zero, zero, zero)
         rs = slice(R + ox, R + ox + tr)
-        cs = slice(R + oy, R + oy + H)
+        cs = slice(R + oy, R + oy + Ha)
         tp = band_p[rs, cs]
         tq = band_q[rs, cs]
         # order stamp1 (uint32-in-int32) values via the int32 difference,
@@ -206,12 +223,12 @@ def _local_flow_kernel(tq_hbm, tp_hbm,
                  for wy in range(-f, f + 1)]
 
     inf = jnp.float32(jnp.inf)
-    best_score = jnp.full((tr, H), inf, jnp.float32)
-    b_detok = jnp.zeros((tr, H), jnp.int32)
-    b_a = jnp.zeros((tr, H), jnp.float32)
-    b_b = jnp.zeros((tr, H), jnp.float32)
-    b_dtdp = jnp.zeros((tr, H), jnp.float32)
-    b_inl = jnp.zeros((tr, H), jnp.int32)
+    best_score = jnp.full((tr, Ha), inf, jnp.float32)
+    b_detok = jnp.zeros((tr, Ha), jnp.int32)
+    b_a = jnp.zeros((tr, Ha), jnp.float32)
+    b_b = jnp.zeros((tr, Ha), jnp.float32)
+    b_dtdp = jnp.zeros((tr, Ha), jnp.float32)
+    b_inl = jnp.zeros((tr, Ha), jnp.int32)
 
     for (a, b) in cand_offsets:
         cells = [(a + wx, b + wy) for (wx, wy) in win_cells]
@@ -281,36 +298,55 @@ def _local_flow_kernel(tq_hbm, tp_hbm,
     dtdp_ref[:] = b_dtdp
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def local_flow_pallas(t_pre, t_post, cfg: FlowConfig):
+@functools.partial(jax.jit, static_argnames=("cfg", "halo"))
+def local_flow_pallas(t_pre, t_post, cfg: FlowConfig, *,
+                      halo: int = 0, row_offset=0):
     """Pallas local plane-fit flow; same contract as dense_local_flow
-    (stamp1-encoded surfaces, see state/surfaces.py)."""
-    W, H = cfg.width, cfg.height
+    (stamp1-encoded surfaces, see state/surfaces.py).
+
+    Sharded-tile mode (parallel/halo.py): with `halo` >= support_radius
+    the inputs carry `halo` exchanged neighbor rows on each side (zeros
+    past the global sensor edge), outputs cover only the core rows, and
+    `row_offset` (possibly traced: the shard's global first row) keeps
+    coordinates and border checks global - the exact contract of
+    ops/dense_flow.py's halo mode.
+    """
     R = cfg.support_radius
+    if halo and halo < R:
+        raise ValueError(f"halo {halo} < support_radius {R}")
+    rows = t_post.shape[0] - 2 * halo    # core rows this call computes
+    Ha = t_post.shape[1]                 # array lane extent (>= height)
     tr = _tile_rows(cfg)
-    grid = pl.cdiv(W, tr)
+    grid = pl.cdiv(rows, tr)
     bh = tr + _rup8(2 * R)
     # bottom padding covers the stencil halo, the ragged last band, and
     # the 8-row alignment of the per-program slab DMA; lanes pad to 128
-    hp = _rup128(H + 2 * R)
-    pad = ((R, grid * tr + _rup8(2 * R) - R - W), (R, hp - R - H))
-    args = (
-        jnp.pad(t_pre, pad),
-        jnp.pad(t_post, pad),
-    )
+    hp = _rup128(Ha + 2 * R)
+    T = grid * tr + _rup8(2 * R)         # total padded row extent
+
+    def prep(a):
+        if halo:
+            # keep exactly R of the exchanged halo on each side, then the
+            # same bottom/lane alignment pads as the unpadded layout
+            a = a[halo - R:halo - R + rows + 2 * R]
+            return jnp.pad(a, ((0, T - rows - 2 * R), (R, hp - R - Ha)))
+        return jnp.pad(a, ((R, T - R - rows), (R, hp - R - Ha)))
+
+    off = jnp.asarray([row_offset], dtype=jnp.int32)
     out_shape = [
-        jax.ShapeDtypeStruct((W, H), jnp.int32),     # accept
-        jax.ShapeDtypeStruct((W, H), jnp.float32),   # a coef
-        jax.ShapeDtypeStruct((W, H), jnp.float32),   # b coef
-        jax.ShapeDtypeStruct((W, H), jnp.float32),   # dtdp
+        jax.ShapeDtypeStruct((rows, Ha), jnp.int32),     # accept
+        jax.ShapeDtypeStruct((rows, Ha), jnp.float32),   # a coef
+        jax.ShapeDtypeStruct((rows, Ha), jnp.float32),   # b coef
+        jax.ShapeDtypeStruct((rows, Ha), jnp.float32),   # dtdp
     ]
-    kern = functools.partial(_local_flow_kernel, cfg=cfg, tr=tr)
+    kern = functools.partial(_local_flow_kernel, cfg=cfg, tr=tr, Ha=Ha)
     acc, a_coef, b_coef, dtdp = pl.pallas_call(
         kern,
         grid=(grid,),
         out_shape=out_shape,
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
-        out_specs=[pl.BlockSpec((tr, H), lambda i: (i, 0),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_specs=[pl.BlockSpec((tr, Ha), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)] * 4,
         scratch_shapes=[
             pltpu.VMEM((bh, hp), jnp.int32),
@@ -318,7 +354,7 @@ def local_flow_pallas(t_pre, t_post, cfg: FlowConfig):
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=_interpret(),
-    )(*args)
+    )(off, prep(t_pre), prep(t_post))
 
     # XLA trig tail - identical to ops/dense_flow.py's
     # (vFlow.cpp:1373-1377 velocity inversion, :315 validity gate)
@@ -339,15 +375,19 @@ def local_flow_pallas(t_pre, t_post, cfg: FlowConfig):
 # --------------------------------------------------------------------------
 
 def _scales_kernel(pi_hbm, vx_ref, vy_ref, tvx_ref, tvy_ref, scale_ref,
-                   band_ref, sem, *, cfg: FlowConfig, tr: int):
+                   band_ref, sem, *, cfg: FlowConfig, tr: int, Ha: int):
     """One program scans all scales for a `tr`-row band.
 
     The clamp-padded integral image stays in HBM; the program DMAs its
     (4, tr + rup8(2M+2), YP) slab into VMEM scratch, then every scale's
     box sum is 4 static vector slices of the slab (see local kernel for
     why bands: Mosaic stack-allocates every materialized temporary).
+    `Ha` is the array lane extent (>= cfg.height when padded). The kernel
+    needs no coordinates at all: window clamping is baked into PI by the
+    wrapper (edge pads for clamped reads in unpadded mode; zero fields
+    past the global edge in halo mode).
     """
-    W, H, M = cfg.width, cfg.height, cfg.max_window
+    M = cfg.max_window
     row0 = pl.program_id(0) * tr
     bh = tr + _rup8(2 * M + 2)
 
@@ -360,12 +400,12 @@ def _scales_kernel(pi_hbm, vx_ref, vy_ref, tvx_ref, tvy_ref, scale_ref,
     bands = [band_ref[fi] for fi in range(4)]
 
     def corner(fi, sx, sy):
-        return bands[fi][M + sx:M + sx + tr, M + sy:M + sy + H]
+        return bands[fi][M + sx:M + sx + tr, M + sy:M + sy + Ha]
 
-    best_ml = jnp.full((tr, H), -1.0, jnp.float32)
-    best_vx = jnp.zeros((tr, H), jnp.float32)
-    best_vy = jnp.zeros((tr, H), jnp.float32)
-    best_s = jnp.zeros((tr, H), jnp.int32)
+    best_ml = jnp.full((tr, Ha), -1.0, jnp.float32)
+    best_vx = jnp.zeros((tr, Ha), jnp.float32)
+    best_vy = jnp.zeros((tr, Ha), jnp.float32)
+    best_s = jnp.zeros((tr, Ha), jnp.int32)
     for s in cfg.scales:
         box = [corner(fi, s + 1, s + 1) - corner(fi, -s, s + 1)
                - corner(fi, s + 1, -s) + corner(fi, -s, -s)
@@ -387,8 +427,9 @@ def _scales_kernel(pi_hbm, vx_ref, vy_ref, tvx_ref, tvy_ref, scale_ref,
     scale_ref[:] = jnp.where(pooled, best_s, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def aperture_pallas(flow_len, flow_vx, flow_vy, cfg: FlowConfig):
+@functools.partial(jax.jit, static_argnames=("cfg", "halo"))
+def aperture_pallas(flow_len, flow_vx, flow_vy, cfg: FlowConfig, *,
+                    halo: int = 0):
     """Pallas multi-scale aperture pooling; same contract as dense_aperture.
 
     XLA builds the clamp-padded integral image PI (f32 cumsum, bitwise
@@ -398,42 +439,65 @@ def aperture_pallas(flow_len, flow_vx, flow_vy, cfg: FlowConfig):
     in row slabs and folds the per-scale box sums into a first-max winner.
     The freshness (KILL_OLD_FLOW_TIME) gate is applied upstream by
     state.kill_stale_flow exactly as for the jnp paths.
+
+    Sharded-tile mode (parallel/halo.py): with `halo` >= max_window the
+    inputs carry exchanged neighbor rows (zero fields past the global
+    edge contribute nothing to box sums, which is exactly what the
+    reference's x clamping computes - ops/dense_flow.py halo mode), so
+    the x axis of PI is a plain slice of the extended integral instead of
+    a clamp pad; outputs cover only the core rows.
     """
     W, H, M = cfg.width, cfg.height, cfg.max_window
-    XP, YP = W + 2 * M + 1, H + 2 * M + 1
+    if halo and halo < M:
+        raise ValueError(f"halo {halo} < max_window {M}")
+    rows = flow_len.shape[0] - 2 * halo
+    Ha = flow_len.shape[1]
 
     # PI[f, i, j] = integ[f, clip(i - M, 0, W), clip(j - M, 0, y_clip)]:
     # the prefix-sum lookup every corner read of every scale needs,
-    # clamping included
+    # clamping included (x clamp realized by zero halo fields in halo mode)
     gate = (flow_len > 0).astype(jnp.float32)
     fields = jnp.stack(
         [gate, flow_len * gate, flow_vx * gate, flow_vy * gate], 0)
     integ = jnp.pad(jnp.cumsum(jnp.cumsum(fields, axis=1), axis=2),
-                    ((0, 0), (1, 0), (1, 0)))            # [4, W+1, H+1]
+                    ((0, 0), (1, 0), (1, 0)))        # [4, rows+2*halo+1, Ha+1]
     y_hi = (W if cfg.replicate_y_clamp_quirk else H) - 1
-    y_clip = min(y_hi + 1, H)
+    y_clip = min(y_hi + 1, Ha)
     integ = integ[:, :, :y_clip + 1]
 
     tr = _tile_rows(cfg)
-    grid = pl.cdiv(W, tr)
-    # the (aligned, possibly ragged) last slab reads PI rows past XP-1
-    x_extra = max(0, grid * tr + _rup8(2 * M + 2) - XP)
-    ypp = _rup128(YP)
-    pi = jnp.pad(integ,
-                 ((0, 0), (M, M + x_extra), (M, ypp - M - (y_clip + 1))),
-                 mode="edge")                       # [4, XP+x_extra, ypp]
-
-    if grid * tr > W:
-        flow_vx = jnp.pad(flow_vx, ((0, grid * tr - W), (0, 0)))
-        flow_vy = jnp.pad(flow_vy, ((0, grid * tr - W), (0, 0)))
-    out_shape = [
-        jax.ShapeDtypeStruct((W, H), jnp.float32),   # true_vx
-        jax.ShapeDtypeStruct((W, H), jnp.float32),   # true_vy
-        jax.ShapeDtypeStruct((W, H), jnp.int32),     # scale
-    ]
+    grid = pl.cdiv(rows, tr)
     bh = tr + _rup8(2 * M + 2)
-    kern = functools.partial(_scales_kernel, cfg=cfg, tr=tr)
-    row_spec = pl.BlockSpec((tr, H), lambda i: (i, 0),
+    ypp = _rup128(Ha + 2 * M + 1)
+    if halo:
+        # core row r, corner shift sx in [-M, M+1] reads integ row
+        # halo + r + sx; arranging PI so the kernel's [M + sx + r] lookup
+        # lands there means dropping the first halo - M integral rows
+        pi = integ[:, halo - M:halo - M + rows + 2 * M + 2]
+        x_extra = grid * tr + bh - pi.shape[1]
+        pi = jnp.pad(pi, ((0, 0), (0, max(0, x_extra)),
+                          (M, ypp - M - (y_clip + 1))), mode="edge")
+        core = slice(halo, halo + rows)
+        flow_vx = flow_vx[core]
+        flow_vy = flow_vy[core]
+    else:
+        XP = rows + 2 * M + 1
+        # the (aligned, possibly ragged) last slab reads PI rows past XP-1
+        x_extra = max(0, grid * tr + bh - XP)
+        pi = jnp.pad(integ,
+                     ((0, 0), (M, M + x_extra), (M, ypp - M - (y_clip + 1))),
+                     mode="edge")                   # [4, XP+x_extra, ypp]
+
+    if grid * tr > rows:
+        flow_vx = jnp.pad(flow_vx, ((0, grid * tr - rows), (0, 0)))
+        flow_vy = jnp.pad(flow_vy, ((0, grid * tr - rows), (0, 0)))
+    out_shape = [
+        jax.ShapeDtypeStruct((rows, Ha), jnp.float32),   # true_vx
+        jax.ShapeDtypeStruct((rows, Ha), jnp.float32),   # true_vy
+        jax.ShapeDtypeStruct((rows, Ha), jnp.int32),     # scale
+    ]
+    kern = functools.partial(_scales_kernel, cfg=cfg, tr=tr, Ha=Ha)
+    row_spec = pl.BlockSpec((tr, Ha), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     return tuple(pl.pallas_call(
         kern,

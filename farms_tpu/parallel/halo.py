@@ -33,6 +33,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from farms_tpu.config import FlowConfig
 from farms_tpu.events.io import EventBatch
 from farms_tpu.ops.dense_flow import dense_aperture, dense_local_flow, onehot_gather
+from farms_tpu.ops.pallas import kernels as pallas_kernels
 from farms_tpu.pipeline.engine import FlowEngine, wire_maps, wire_pack
 from farms_tpu.state.surfaces import SurfaceState, kill_stale_flow
 
@@ -101,12 +102,27 @@ def halo_micro_step(state: SurfaceState, batch, cfg: FlowConfig, n: int):
                                        unique_indices=True)
     written = epoch == state.step
 
+    # Pallas kernels run per shard on the halo-extended bands (the same
+    # contract as the dense ops' halo mode); auto mode picks them on real
+    # TPU whenever the per-program VMEM estimate fits
+    if cfg.use_pallas is None:
+        on_tpu = jax.default_backend() == "tpu"
+        pk_local = on_tpu and pallas_kernels.local_flow_vmem_ok(cfg)
+        pk_apert = on_tpu and pallas_kernels.aperture_vmem_ok(cfg)
+    else:
+        pk_local = pk_apert = bool(cfg.use_pallas)
+
     # ---- plane-fit stage on support_radius-extended time surfaces ----
     R = cfg.support_radius
     t_pre_ext = exchange_halo(state.t_surf, R, n)
     t_post_ext = exchange_halo(t_surf, R, n)
-    vx_map, vy_map, gate_map, len_map, theta_map = dense_local_flow(
-        t_pre_ext, t_post_ext, cfg, halo=R, row_offset=row0)
+    if pk_local:
+        vx_map, vy_map, gate_map, len_map, theta_map = (
+            pallas_kernels.local_flow_pallas(
+                t_pre_ext, t_post_ext, cfg, halo=R, row_offset=row0))
+    else:
+        vx_map, vy_map, gate_map, len_map, theta_map = dense_local_flow(
+            t_pre_ext, t_post_ext, cfg, halo=R, row_offset=row0)
 
     # flow-surface writes (vFlow.cpp:349-356 valid / 398-402 invalid)
     flow_len = jnp.where(
@@ -121,8 +137,12 @@ def halo_micro_step(state: SurfaceState, batch, cfg: FlowConfig, n: int):
     len_ext = exchange_halo(flow_len, A, n)
     vx_ext = exchange_halo(flow_vx, A, n)
     vy_ext = exchange_halo(flow_vy, A, n)
-    tvx_map, tvy_map, scale_map = dense_aperture(
-        len_ext, vx_ext, vy_ext, cfg, halo=A)
+    if pk_apert:
+        tvx_map, tvy_map, scale_map = pallas_kernels.aperture_pallas(
+            len_ext, vx_ext, vy_ext, cfg, halo=A)
+    else:
+        tvx_map, tvy_map, scale_map = dense_aperture(
+            len_ext, vx_ext, vy_ext, cfg, halo=A)
 
     out_maps = wire_maps(gate_map, vx_map, vy_map, tvx_map, tvy_map,
                          scale_map, cfg)
@@ -151,10 +171,6 @@ class HaloFlowEngine(FlowEngine):
                  mesh: Mesh | None = None):
         if not cfg.use_dense:
             raise ValueError("halo sharding requires the dense compute path")
-        if cfg.use_pallas:
-            raise ValueError(
-                "halo sharding uses the XLA dense stencils; Pallas kernels "
-                "operate on whole-sensor blocks (use_pallas must be falsy)")
         if mesh is None:
             devs = jax.devices()
             if num_devices is not None:

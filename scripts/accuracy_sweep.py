@@ -131,6 +131,12 @@ def main():
     ap.add_argument("--stream", nargs="+", default=["bar", "random"])
     ap.add_argument("--n", type=int, default=120_000)
     ap.add_argument("--chunks", nargs="+", type=int, default=list(CHUNKS))
+    ap.add_argument("--phases", nargs="+", type=int, default=[1],
+                    help="sub_phases values to cross with --chunks "
+                         "(FlowConfig.sub_phases)")
+    ap.add_argument("--wire", default="f16",
+                    help="wire format for the engine (bench ships f16)")
+    ap.add_argument("--out", default="ACCURACY.json")
     args = ap.parse_args()
 
     import jax
@@ -144,21 +150,25 @@ def main():
         orc = oracle_cached(ev, cfg0, kind)
         rows = []
         for m in args.chunks:
-            cfg = FlowConfig(width=320, height=320, chunk_size=m,
-                             steps_per_scan=8)
-            eng = FlowEngine(cfg)
-            t0 = time.time()
-            got = eng.process(ev)
-            dt = time.time() - t0
-            row = {"chunk_size": m,
-                   "span_us_per_chunk": round(m / rate * 1e6),
-                   **metrics(got, orc)}
-            rows.append(row)
-            print(f"[{kind} m={m}] {json.dumps(row)} ({dt:.0f}s)",
-                  flush=True)
+            for P in args.phases:
+                if m % P:
+                    continue
+                cfg = FlowConfig(width=320, height=320, chunk_size=m,
+                                 steps_per_scan=8, sub_phases=P,
+                                 wire=args.wire)
+                eng = FlowEngine(cfg)
+                t0 = time.time()
+                got = eng.process(ev)
+                dt = time.time() - t0
+                row = {"chunk_size": m, "sub_phases": P,
+                       "span_us_per_chunk": round(m / rate * 1e6),
+                       **metrics(got, orc)}
+                rows.append(row)
+                print(f"[{kind} m={m} P={P}] {json.dumps(row)} ({dt:.0f}s)",
+                      flush=True)
         results["streams"][kind] = {"rate_ev_per_s": round(rate), "rows": rows}
 
-    out_json = os.path.join(REPO, "ACCURACY.json")
+    out_json = os.path.join(REPO, args.out)
     with open(out_json, "w") as fh:
         json.dump(results, fh, indent=1)
     print(f"wrote {out_json}", flush=True)

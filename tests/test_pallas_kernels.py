@@ -187,3 +187,84 @@ def test_micro_step_pallas_vs_dense():
     close = np.isclose(main_x, main_p, rtol=1e-3, atol=1e-3)
     assert close.mean() > 0.99, f"micro_step mismatch: {(~close).sum()}"
     np.testing.assert_array_equal(np.asarray(out_x[1]), np.asarray(out_p[1]))
+
+
+# --------------------------------------------------------------------------
+# sharded-tile (halo) mode: kernels on halo-extended shard bands
+# --------------------------------------------------------------------------
+
+def _split_with_halo(arr, n, h):
+    """Host-side reference of parallel/halo.py's exchange_halo: split [W,H]
+    into n row bands, each extended by h rows from its neighbors
+    (zero-filled past the global edge)."""
+    W = arr.shape[0]
+    rows = W // n
+    padded = np.pad(np.asarray(arr), ((h, h), (0, 0)))
+    return [jnp.asarray(padded[i * rows:i * rows + rows + 2 * h])
+            for i in range(n)]
+
+
+@pytest.mark.parametrize("n", [2, 4])
+def test_local_flow_halo_matches_dense_halo(n):
+    """local_flow_pallas(halo=R, row_offset) == dense halo mode per shard."""
+    t_pre, t_post = _surfaces(seed=7)
+    R = CFG.support_radius
+    pres = _split_with_halo(t_pre, n, R)
+    posts = _split_with_halo(t_post, n, R)
+    rows = CFG.width // n
+    for i in range(n):
+        ref = dense_local_flow(pres[i], posts[i], CFG, halo=R,
+                               row_offset=i * rows)
+        out = pk.local_flow_pallas(pres[i], posts[i], CFG, halo=R,
+                                   row_offset=jnp.int32(i * rows))
+        _assert_mostly_equal(ref, out, f"local shard {i}/{n}")
+
+
+@pytest.mark.parametrize("n", [2, 4])
+def test_aperture_halo_matches_dense_halo(n):
+    """aperture_pallas(halo=A) == dense halo mode per shard (exact: both
+    consume the same f32 integral)."""
+    cfg = FlowConfig(width=48, height=40, chunk_size=64, max_window=10,
+                     window_jump=5)
+    rng = np.random.default_rng(3)
+    W, H = cfg.width, cfg.height
+    has = rng.random((W, H)) < 0.3
+    flow_len = jnp.asarray(np.where(has, rng.uniform(0.5, 3, (W, H)), 0.0),
+                           jnp.float32)
+    ang = rng.uniform(-np.pi, np.pi, (W, H))
+    flow_vx = jnp.asarray(np.where(has, np.cos(ang), 0.0), jnp.float32)
+    flow_vy = jnp.asarray(np.where(has, np.sin(ang), 0.0), jnp.float32)
+    A = cfg.max_window + 1
+    lens = _split_with_halo(flow_len, n, A)
+    vxs = _split_with_halo(flow_vx, n, A)
+    vys = _split_with_halo(flow_vy, n, A)
+    for i in range(n):
+        ref = dense_aperture(lens[i], vxs[i], vys[i], cfg, halo=A)
+        out = pk.aperture_pallas(lens[i], vxs[i], vys[i], cfg, halo=A)
+        for name, r, o in zip(["tvx", "tvy", "scale"], ref, out):
+            np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                       rtol=1e-6, atol=1e-7,
+                                       err_msg=f"shard {i}/{n} {name}")
+
+
+def test_halo_engine_pallas_matches_dense():
+    """Full HaloFlowEngine: Pallas kernels (interpret mode) == XLA dense."""
+    from farms_tpu.events.io import synthetic_translating_bar
+    from farms_tpu.parallel.halo import HaloFlowEngine
+
+    ev = synthetic_translating_bar(width=64, height=48, bar_len=16,
+                                   duration_us=15000, jitter_us=10, seed=2)
+    ev.y[:] = np.clip(ev.y, 0, 47)
+    outs = []
+    for use_pallas in (False, True):
+        cfg = FlowConfig(width=64, height=48, chunk_size=128,
+                         steps_per_scan=2, max_window=10, window_jump=5,
+                         use_pallas=use_pallas)
+        eng = HaloFlowEngine(cfg, num_devices=4)
+        outs.append(eng.process(ev))
+    a, b = outs
+    np.testing.assert_array_equal(a.scale, b.scale)
+    valid = a.r_local > 0
+    assert valid.sum() > 50
+    np.testing.assert_allclose(b.vx, a.vx, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(b.r_true, a.r_true, rtol=1e-4, atol=1e-5)
