@@ -41,28 +41,64 @@ class EventBatch:
         return EventBatch(self.x[sl], self.y[sl], self.t[sl], self.pol[sl])
 
 
-def load_events_txt(path: str, max_events: int | None = None) -> EventBatch:
-    """Read an `x y t p` whitespace-separated text file.
+LAYOUTS = {
+    # column order -> (x, y, t, p) indices
+    "xytp": (0, 1, 2, 3),   # reference FARMS layout (vFlow.cpp:173-188)
+    "txyp": (1, 2, 0, 3),   # Event Camera Dataset / DAVIS events.txt
+}
 
-    Mirrors the reference parse loop (vFlow.cpp:173-188): `x` and `y` as
-    ints, `t` as unsigned 32-bit microseconds, `p` clamped so negative
-    polarity becomes 0.
+
+def load_events_txt(path: str, max_events: int | None = None, *,
+                    layout: str = "xytp",
+                    time_unit: str = "us") -> EventBatch:
+    """Read a whitespace-separated event text file.
+
+    `layout` selects the column order: "xytp" is the reference's format
+    (vFlow.cpp:173-188; `t` integer microseconds), "txyp" is the Event
+    Camera Dataset / DAVIS240 `events.txt` format (BASELINE config 4),
+    whose timestamps are float *seconds* - pass time_unit="s" for those.
+    Timestamps are converted to unsigned 32-bit microseconds and polarity
+    is clamped so negative values become 0, exactly as the reference
+    parses its own layout.
     """
+    if layout not in LAYOUTS:
+        raise ValueError(f"unknown layout {layout!r}; known: {list(LAYOUTS)}")
+    if time_unit not in ("us", "s"):
+        raise ValueError(f"time_unit must be 'us' or 's', got {time_unit!r}")
     if not path.endswith(".txt"):
         path = path + ".txt"
-    arr = nativeio.parse_events(path, max_events)
+    arr = None
+    if layout == "xytp" and time_unit == "us":
+        # native mmap fast path (integer-microsecond reference layout)
+        arr = nativeio.parse_events(path, max_events)
     if arr is None:
-        # NumPy fallback.
         arr = np.loadtxt(path, dtype=np.float64, ndmin=2,
                          max_rows=max_events)
         if arr.size == 0:
             arr = np.zeros((0, 4), dtype=np.float64)
+        ix, iy, it, ip = LAYOUTS[layout]
+        arr = arr[:, [ix, iy, it, ip]]
     x = arr[:, 0].astype(np.int32)
     y = arr[:, 1].astype(np.int32)
-    t = arr[:, 2].astype(np.int64).astype(np.uint32)
+    t_raw = arr[:, 2]
+    if time_unit == "s":
+        t_raw = np.round(t_raw * 1e6)
+    t = t_raw.astype(np.int64).astype(np.uint32)
     pol = arr[:, 3].astype(np.int32)
     pol = np.where(pol < 0, 0, pol)
     return EventBatch(x, y, t, pol)
+
+
+def convert_events_txt(src: str, dst: str, *, layout: str = "txyp",
+                       time_unit: str = "s",
+                       max_events: int | None = None) -> str:
+    """Convert a foreign-layout event file to the reference `x y t p`
+    integer-microsecond layout (so the native mmap parser and the
+    reference binary itself can both read it)."""
+    ev = load_events_txt(src, max_events, layout=layout,
+                         time_unit=time_unit)
+    write_events_txt(ev, dst)
+    return dst
 
 
 @dataclasses.dataclass
@@ -205,6 +241,80 @@ def synthetic_translating_bar(
     t = np.asarray(ts, dtype=np.float64)[order].astype(np.int64).astype(np.uint32)
     pol = np.ones_like(x, dtype=np.int32)
     return EventBatch(x, y, t, pol)
+
+
+def synthetic_rotating_shapes(
+    width: int = 240,
+    height: int = 180,
+    omega_rad_s: float = 2.0 * np.pi,
+    duration_us: int = 500_000,
+    n_spokes: int = 4,
+    t0_us: int = 1000,
+    noise_frac: float = 0.15,
+    seed: int = 0,
+) -> EventBatch:
+    """A DAVIS240-style rotating scene (Event Camera Dataset config 4).
+
+    The public `shapes_rotation` sequences (240x180 DAVIS, `events.txt`
+    in `t x y p` float-second layout) show high-contrast shapes under
+    camera rotation; this regenerates the same statistical regime: edge
+    events along rotating spokes about the image center (per-pixel flow
+    is tangential, |v| = omega * r) plus sensor background noise. A pixel
+    fires when a spoke's rasterization newly covers it, like a real
+    contrast edge crossing.
+    """
+    rng = np.random.default_rng(seed)
+    cx, cy = width / 2.0, height / 2.0
+    L = 0.45 * min(width, height)
+    d = np.arange(6.0, L, 1.0)
+    dtheta = 1.0 / L          # outermost sample moves ~1 px per step
+    us_per_step = dtheta / omega_rad_s * 1e6
+    n_steps = max(1, int(duration_us / us_per_step))
+    xs, ys, ts = [], [], []
+    prev = {}
+    for k in range(n_steps):
+        t_k = t0_us + k * us_per_step
+        for s in range(n_spokes):
+            th = s * 2.0 * np.pi / n_spokes + k * dtheta
+            px = np.round(cx + d * np.cos(th)).astype(np.int64)
+            py = np.round(cy + d * np.sin(th)).astype(np.int64)
+            cur = px * height + py
+            last = prev.get(s)
+            new = np.ones(len(d), bool) if last is None else cur != last
+            prev[s] = cur
+            keep = new & (px >= 0) & (px < width) & (py >= 0) & (py < height)
+            nn = int(keep.sum())
+            xs.append(px[keep])
+            ys.append(py[keep])
+            ts.append(t_k + rng.uniform(0, us_per_step * 0.5, nn))
+    x = np.concatenate(xs)
+    y = np.concatenate(ys)
+    t = np.concatenate(ts)
+    n_noise = int(len(x) * noise_frac)
+    if n_noise:
+        x = np.concatenate([x, rng.integers(0, width, n_noise)])
+        y = np.concatenate([y, rng.integers(0, height, n_noise)])
+        t = np.concatenate([t, rng.uniform(t0_us, t.max(), n_noise)])
+    order = np.argsort(t, kind="stable")
+    return EventBatch(
+        x=x[order].astype(np.int32),
+        y=y[order].astype(np.int32),
+        t=t[order].astype(np.int64).astype(np.uint32),
+        pol=rng.integers(0, 2, len(x)).astype(np.int32),
+    )
+
+
+def write_events_davis_txt(ev: EventBatch, path: str) -> str:
+    """Write an event batch in the Event Camera Dataset `t x y p` layout
+    (timestamps as float seconds), e.g. to exercise the config-4 ingestion
+    path without the real download."""
+    if not path.endswith(".txt"):
+        path = path + ".txt"
+    with open(path, "w") as fh:
+        for i in range(len(ev)):
+            fh.write(f"{ev.t[i] * 1e-6:.9f} {ev.x[i]} {ev.y[i]} "
+                     f"{ev.pol[i]}\n")
+    return path
 
 
 def synthetic_random_events(
