@@ -147,13 +147,22 @@ def halo_micro_step(state: SurfaceState, batch, cfg: FlowConfig, n: int):
     out_maps = wire_maps(gate_map, vx_map, vy_map, tvx_map, tvy_map,
                          scale_map, cfg)
 
-    # ---- per-event gather: owner shard contributes, psum combines the
-    # f32 lanes (exactly one shard is non-zero per lane), then the wire
-    # pack runs on the replicated result ----
+    # ---- per-event gather: owner shard contributes; a reduce-scatter
+    # combines the f32 lanes (exactly one shard is non-zero per lane) and
+    # leaves each shard holding its 1/n lane slice, which is also how the
+    # packed output stays sharded on the wire (P('tx') lane sharding, so
+    # per-call cross-device output traffic is the reduce-scatter's
+    # (n-1)/n instead of a full all-reduce + replicated fetch). Falls
+    # back to psum + replicated output when n does not divide m. ----
     safe_lx = jnp.clip(lx, 0, rows - 1)
     lanes = onehot_gather(out_maps, safe_lx, y, rows, cfg.height)
     lanes = jnp.where(in_core[None, :], lanes, 0.0)
-    lanes = jax.lax.psum(lanes, "tx")
+    m = lanes.shape[1]
+    if n > 1 and m % n == 0:
+        lanes = jax.lax.psum_scatter(lanes, "tx", scatter_dimension=1,
+                                     tiled=True)
+    else:
+        lanes = jax.lax.psum(lanes, "tx")
     out = wire_pack(lanes[0], lanes[1], lanes[2], lanes[3], lanes[4], cfg)
 
     new_state = SurfaceState(t_surf, epoch, flow_len, flow_vx, flow_vy,
@@ -193,11 +202,14 @@ class HaloFlowEngine(FlowEngine):
         self._repl = NamedSharding(mesh, P())
         self.state = jax.device_put(self.state, self._state_shardings)
 
+        scat = n > 1 and cfg.chunk_size % n == 0
+        out_specs = ((P(None, "tx"), P("tx")) if scat
+                     else (P(None, None), P(None)))
         step = jax.shard_map(
             functools.partial(halo_micro_step, cfg=cfg, n=n),
             mesh=mesh,
             in_specs=(state_specs, P(None, None)),
-            out_specs=(state_specs, (P(None, None), P(None))),
+            out_specs=(state_specs, out_specs),
             check_vma=False,
         )
 

@@ -533,9 +533,13 @@ class FlowEngine:
             futs = []
             for c in range(packed.shape[0]):
                 self.state, out = self._dispatch(jnp.asarray(packed[c]))
-                futs.append(tuple(pool.submit(np.asarray, o) for o in out))
+                futs.append(tuple(pool.submit(self._fetch, o) for o in out))
             blocks = [tuple(f.result() for f in fs) for fs in futs]
         return self._unpack_outputs(blocks, ev, n)
+
+    def _fetch(self, o):
+        """Device->host fetch of one output array (subclass hook)."""
+        return np.asarray(o)
 
     def process_resident(self, ev: EventBatch):
         """Upload the whole stream once and run it as one device program.

@@ -71,3 +71,26 @@ def test_quirk_changes_nothing_on_square_sensor():
         outs.append(FlowEngine(cfg).process(ev))
     np.testing.assert_array_equal(outs[0].scale, outs[1].scale)
     np.testing.assert_allclose(outs[0].r_true, outs[1].r_true, rtol=1e-7)
+
+
+@pytest.mark.slow
+def test_filter_size_7_dense_matches_oracle():
+    """k=7 on the DENSE path - the path `--filtersize 7 --backend dense`
+    actually selects (VERDICT.md r2 item 5). The (2k-1)^2-offset unroll
+    makes the CPU compile take minutes (hence the slow mark and the small
+    sensor); on TPU the same graph compiles in seconds. Measured: exact
+    validity/scale agreement with the float64 oracle, r_local to ~7e-6."""
+    ev = synthetic_translating_bar(
+        width=40, height=40, bar_len=16, duration_us=25000,
+        speed_px_per_sec=1500, jitter_us=30, seed=3,
+    )[:200]
+    cfg = FlowConfig(width=40, height=40, filter_size=7,
+                     min_evts_on_plane=10, chunk_size=1, steps_per_scan=25,
+                     use_dense=True)
+    ref = run_oracle(ev, cfg)
+    got = FlowEngine(cfg).process(ev)
+    np.testing.assert_array_equal(ref.r_local > 0, got.r_local > 0)
+    m = ref.r_local > 0
+    assert m.sum() > 30
+    np.testing.assert_allclose(got.r_local[m], ref.r_local[m], rtol=1e-4)
+    np.testing.assert_array_equal(ref.scale[m], got.scale[m])
