@@ -17,12 +17,14 @@ end-to-end number (VERDICT.md round-1 item 6):
   PCIe/tunnel transfer cost.
 
 Config: 320x320 sensor (BASELINE.json config 2-style: millions of events,
-batched mode) at the *validated* operating point `chunk_size=65536` — the
-largest chunk meeting the accuracy budget (AEE < 0.5 px/ms, ang p95 < 5
-deg) against the float64 event-serial oracle; see ACCURACY.md.
-vs_baseline is measured against the driver's north-star per-chip share:
-100 M events/s on a v5p-16 = 6.25 M events/s per chip (BASELINE.json:5);
-the reference itself publishes no numbers (BASELINE.md).
+batched mode) at the *validated* operating point `chunk_size=131072,
+sub_phases=2` — the highest-throughput measured point meeting the
+accuracy budget (AEE < 0.5 px/ms, ang p95 < 5 deg) against the float64
+event-serial oracle at granularity 65536; see ACCURACY.md (which also
+lists the high-fidelity sub_phases=8 point). vs_baseline is measured
+against the driver's north-star per-chip share: 100 M events/s on a
+v5p-16 = 6.25 M events/s per chip (BASELINE.json:5); the reference
+itself publishes no numbers (BASELINE.md).
 """
 import json
 import os
@@ -52,9 +54,10 @@ def main():
     except Exception:
         pass
 
-    # validated operating point (ACCURACY.md): largest chunk within the
-    # accuracy budget vs the event-serial oracle
-    m = int(os.environ.get("FARMS_BENCH_CHUNK", 65536))
+    # validated operating point (ACCURACY.md): highest-throughput
+    # (chunk, sub_phases) point within the accuracy budget vs the
+    # event-serial oracle (granularity = chunk/phases = 65536)
+    m = int(os.environ.get("FARMS_BENCH_CHUNK", 131072))
     spc = int(os.environ.get("FARMS_BENCH_STEPS", 8))
     n_calls = int(os.environ.get("FARMS_BENCH_CALLS", 16))
     e2e_calls = int(os.environ.get("FARMS_BENCH_E2E_CALLS", 4))
@@ -63,7 +66,7 @@ def main():
     # byte); validated at the operating point by
     # tests/test_golden.py::test_chunked_accuracy_operating_point[f16]
     wire = os.environ.get("FARMS_BENCH_WIRE", "f16")
-    phases = int(os.environ.get("FARMS_BENCH_PHASES", 1))
+    phases = int(os.environ.get("FARMS_BENCH_PHASES", 2))
     cfg = FlowConfig(width=320, height=320, chunk_size=m, use_dense=True,
                      wire=wire, sub_phases=phases)
 
@@ -124,14 +127,21 @@ def main():
         dt = time.perf_counter() - t0
         e2e = e2e_calls * n / dt
 
+    # e2e wire context: the remote-execution tunnel sustains ~27 MB/s per
+    # stream / ~50 MB/s on two (scripts/_prof_wire.py), so the e2e lane is
+    # transport-bound at 17 B/event round trip; report the achieved wire
+    # rate so the bound is visible next to the number
+    wire_bytes = 8 + (9 if wire == "f16" else 17)
     print(json.dumps({
         "metric": "events_per_second_single_chip",
         "value": round(best, 1),
         "unit": "events/s",
         "vs_baseline": round(best / BASELINE_PER_CHIP, 3),
         "chunk_size": m,
+        "sub_phases": phases,
         "e2e_events_per_second": round(e2e, 1),
         "e2e_vs_baseline": round(e2e / BASELINE_PER_CHIP, 3),
+        "e2e_wire_MBps": round(e2e * wire_bytes / 1e6, 1),
     }))
     return 0
 

@@ -8,8 +8,10 @@ chunks to the device carrying the state across calls (which doubles as the
 checkpoint/resume mechanism: the surface pytree *is* the whole state).
 
 Host<->device traffic is packed: one int32 [steps, rows, m] upload per
-call — rows=5 (x, y, t, lane_valid, winner) or the compact rows=2 layout
-(flat index | winner<<30, t; 8 bytes/event) — and one wire-format download
+call — rows=5 (x, y, t, lane_valid, winner), the compact rows=2 layout
+(flat index | winner<<30, t; 8 bytes/event), or the delta-coded compact2
+rows=1 layout (4 bytes/event, pack2/scan_chunk2, small sensors with
+<16.4 ms stamp gaps) — and one wire-format download
 (i32 [steps, C, m] flow components + u8 [steps, m] validity/scale; 9-17
 bytes/event, see wire_pack; the magnitude/angle columns are derived
 host-side), so throughput is bounded by bandwidth rather than per-array
@@ -135,7 +137,23 @@ def micro_step(state: SurfaceState, batch, cfg: FlowConfig):
     """
     is_winner = None
     lane_valid = None
-    if isinstance(batch, (tuple, list)):
+    if isinstance(batch, (tuple, list)) and len(batch) == 2:
+        # compact2 int32 ([1, m] word row, [] step base): bits 0-16 flat
+        # pixel index (sentinel W*H on padded lanes), bit 17 winner, bits
+        # 18-31 the unsigned stamp delta to the previous lane (lane 0's
+        # delta is 0; `base` is the step's first normalized stamp).
+        # 4 bytes/event on the H2D wire; the host packer falls back to
+        # the 8-byte layout whenever a delta exceeds 14 bits or the
+        # sensor exceeds 2^17 - 1 pixels (pack()).
+        word, base = batch
+        word = word[0]
+        is_winner = ((word >> 17) & 1).astype(jnp.bool_)
+        dt = (word >> 18) & jnp.int32(0x3FFF)
+        t = base + jnp.cumsum(dt, dtype=jnp.int32)
+        xy = word & jnp.int32(0x1FFFF)
+        x = xy // jnp.int32(cfg.height)
+        y = xy - x * jnp.int32(cfg.height)
+    elif isinstance(batch, (tuple, list)):
         x, y, t, lane_valid = batch
         lane_valid = lane_valid.astype(jnp.bool_)
     elif batch.shape[0] == 2:
@@ -314,6 +332,16 @@ def scan_chunk(state: SurfaceState, chunk, cfg: FlowConfig):
     return jax.lax.scan(body, state, chunk)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def scan_chunk2(state: SurfaceState, chunk, bases, cfg: FlowConfig):
+    """scan_chunk for the compact2 wire: `chunk` int32 [n_steps, 1, m]
+    delta-coded words + `bases` int32 [n_steps] per-step first stamps."""
+    def body(st, xs):
+        return micro_step(st, xs, cfg)
+
+    return jax.lax.scan(body, state, (chunk, bases))
+
+
 class FlowEngine:
     """Host-side streaming driver carrying device state across chunks."""
 
@@ -443,6 +471,39 @@ class FlowEngine:
         packed[:, :, 4, :] = winner.reshape(n_calls, spc, m)
         return packed, n
 
+    def pack2(self, ev: EventBatch, steps_per_call: int | None = None):
+        """Delta-coded 4 B/event repack of the compact layout.
+
+        Returns (packed, bases, n): int32 [n_calls, spc, 1, m] words
+        (flat idx | winner << 17 | stamp-delta << 18) + int32
+        [n_calls, spc] per-step base stamps - halving the compact
+        layout's H2D bytes (the e2e lane is wire-bound, bench.py).
+        When the geometry (>= 2^17 pixels) or the stream (a delta past
+        14 bits, i.e. a >16.4 ms gap between consecutive events) does
+        not fit, `bases` is None and `packed` is the compact/5-row
+        fallback from pack() - exact stamps always win over wire size.
+        """
+        packed, n = self.pack(ev, steps_per_call=steps_per_call,
+                              compact=True)
+        if (packed.shape[2] != 2
+                or self.cfg.width * self.cfg.height >= (1 << 17)):
+            return packed, None, n
+        pu = packed.view(np.uint32)
+        word1 = pu[:, :, 0, :]
+        t = pu[:, :, 1, :]
+        base = t[:, :, :1]
+        dt = t.copy()
+        dt[:, :, 1:] -= t[:, :, :-1]
+        dt[:, :, 0] = 0
+        if dt.max() > 0x3FFF:   # wrapped-negative or oversized gaps too
+            return packed, None, n
+        win = (word1 >> np.uint32(30)) & np.uint32(1)
+        flat = word1 & np.uint32(0x3FFFFFFF)
+        word2 = (flat | (win << np.uint32(17))
+                 | (dt << np.uint32(18))).view(np.int32)
+        bases = np.ascontiguousarray(base[:, :, 0]).view(np.int32)
+        return word2[:, :, None, :], bases, n
+
     def _unpack_outputs(self, out_blocks, ev: EventBatch, n: int) -> FlowOutput:
         """Decode wire blocks [(main i32 [steps,C,m], aux u8 [steps,m])]
         into the 11-column FlowOutput.
@@ -525,14 +586,26 @@ class FlowEngine:
             steps_per_call = max(1, min(
                 self.cfg.steps_per_scan,
                 -(-self._PIPELINE_EVENTS // self.cfg.chunk_size)))
-        packed, n = self.pack(ev, steps_per_call=steps_per_call,
-                              compact=self._compact_ok)
+        # the delta-coded 4 B/event upload applies only to engines running
+        # the base (unsharded) dispatch: sharded subclasses partition the
+        # chunk array and would need matching specs for the base vector
+        bases = None
+        if self._compact_ok and type(self)._dispatch is FlowEngine._dispatch:
+            packed, bases, n = self.pack2(ev, steps_per_call=steps_per_call)
+        else:
+            packed, n = self.pack(ev, steps_per_call=steps_per_call,
+                                  compact=self._compact_ok)
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=self._FETCH_THREADS) as pool:
             futs = []
             for c in range(packed.shape[0]):
-                self.state, out = self._dispatch(jnp.asarray(packed[c]))
+                if bases is not None:
+                    self.state, out = scan_chunk2(
+                        self.state, jnp.asarray(packed[c]),
+                        jnp.asarray(bases[c]), self.cfg)
+                else:
+                    self.state, out = self._dispatch(jnp.asarray(packed[c]))
                 futs.append(tuple(pool.submit(self._fetch, o) for o in out))
             blocks = [tuple(f.result() for f in fs) for fs in futs]
         return self._unpack_outputs(blocks, ev, n)

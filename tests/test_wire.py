@@ -82,3 +82,42 @@ def test_wire_f16_nan_and_overflow_survive():
 def test_wire_validation(bad):
     with pytest.raises(ValueError):
         FlowConfig(wire=bad)
+
+
+def test_compact2_upload_parity_and_fallbacks():
+    """The delta-coded 4 B/event upload (engine.pack2/scan_chunk2) must
+    produce byte-identical outputs to the 8 B compact layout, and must
+    fall back to it on oversized stamp gaps or >= 2^17-pixel sensors."""
+    from farms_tpu.events.io import synthetic_translating_bar
+
+    class NoCompact2(FlowEngine):
+        # overriding _dispatch disables the compact2 path (base-dispatch
+        # gate in process())
+        def _dispatch(self, chunk):
+            return super()._dispatch(chunk)
+
+    ev = synthetic_translating_bar(width=64, height=64, bar_len=24,
+                                   duration_us=40000, jitter_us=30, seed=1)
+    cfg = FlowConfig(width=64, height=64, chunk_size=256, steps_per_scan=2)
+    p, bases, n = FlowEngine(cfg).pack2(ev)
+    assert bases is not None and p.shape[2] == 1
+    a = FlowEngine(cfg).process(ev)
+    b = NoCompact2(cfg).process(ev)
+    for col in ("vx", "vy", "r_true", "theta_true", "r_local",
+                "theta_local", "scale"):
+        np.testing.assert_array_equal(getattr(a, col), getattr(b, col))
+
+    # a > 16.4 ms gap exceeds the 14-bit delta field -> exact fallback
+    ev2 = ev[:]
+    ev2.t[len(ev2) // 2:] += np.uint32(40000)
+    _, bases, _ = FlowEngine(cfg).pack2(ev2)
+    assert bases is None
+    a = FlowEngine(cfg).process(ev2)
+    b = NoCompact2(cfg).process(ev2)
+    np.testing.assert_array_equal(a.scale, b.scale)
+    np.testing.assert_array_equal(a.vx, b.vx)
+
+    # sensors past 2^17 pixels cannot address the 17-bit index field
+    big = FlowConfig(width=512, height=512, chunk_size=256)
+    _, bases, _ = FlowEngine(big).pack2(ev)
+    assert bases is None
