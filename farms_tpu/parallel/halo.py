@@ -35,7 +35,7 @@ from farms_tpu.events.io import EventBatch
 from farms_tpu.ops.dense_flow import dense_aperture, dense_local_flow, onehot_gather
 from farms_tpu.ops.pallas import kernels as pallas_kernels
 from farms_tpu.pipeline.engine import FlowEngine, wire_maps, wire_pack
-from farms_tpu.state.surfaces import SurfaceState, kill_stale_flow
+from farms_tpu.state.surfaces import SurfaceState
 
 
 def exchange_halo(arr, h: int, n: int, axis_name: str = "tx"):
@@ -80,8 +80,10 @@ def halo_micro_step(state: SurfaceState, batch, cfg: FlowConfig, n: int):
 
     `state` holds this shard's [rows, H] surface bands; `batch` is the
     replicated packed int32 [5, m] micro-batch (host-resolved winners,
-    pipeline/engine.py pack()). Mirrors micro_step's dense branch with the
-    two stencil stages running on halo-extended local bands.
+    pipeline/engine.py pack()). Mirrors micro_step's dense branch -
+    including cfg.sub_phases causal groups, each with its own band
+    exchanges - with the two stencil stages running on halo-extended
+    local bands.
     """
     rows = cfg.array_width // n
     idx = jax.lax.axis_index("tx")
@@ -89,18 +91,9 @@ def halo_micro_step(state: SurfaceState, batch, cfg: FlowConfig, n: int):
 
     x, y, t = batch[0], batch[1], batch[2]
     is_winner = batch[4].astype(jnp.bool_)
-    t1 = t + 1
-
-    state = kill_stale_flow(state, t[0], cfg)
-
-    # ---- scatter winners that land in this shard's core rows ----
-    lx = x - row0
-    in_core = (lx >= 0) & (lx < rows)
-    wsx = jnp.where(is_winner & in_core, lx, rows)
-    t_surf = state.t_surf.at[wsx, y].set(t1, mode="drop", unique_indices=True)
-    epoch = state.epoch.at[wsx, y].set(state.step, mode="drop",
-                                       unique_indices=True)
-    written = epoch == state.step
+    m_total = x.shape[0]
+    P = cfg.sub_phases if m_total % cfg.sub_phases == 0 else 1
+    mp = m_total // P
 
     # Pallas kernels run per shard on the halo-extended bands (the same
     # contract as the dense ops' halo mode); auto mode picks them on real
@@ -112,53 +105,82 @@ def halo_micro_step(state: SurfaceState, batch, cfg: FlowConfig, n: int):
     else:
         pk_local = pk_apert = bool(cfg.use_pallas)
 
-    # ---- plane-fit stage on support_radius-extended time surfaces ----
+    t_surf = state.t_surf
+    epoch = state.epoch
+    flow_len, flow_vx, flow_vy = state.flow_len, state.flow_vx, state.flow_vy
     R = cfg.support_radius
-    t_pre_ext = exchange_halo(state.t_surf, R, n)
-    t_post_ext = exchange_halo(t_surf, R, n)
-    if pk_local:
-        vx_map, vy_map, gate_map, len_map, theta_map = (
-            pallas_kernels.local_flow_pallas(
-                t_pre_ext, t_post_ext, cfg, halo=R, row_offset=row0))
-    else:
-        vx_map, vy_map, gate_map, len_map, theta_map = dense_local_flow(
-            t_pre_ext, t_post_ext, cfg, halo=R, row_offset=row0)
-
-    # flow-surface writes (vFlow.cpp:349-356 valid / 398-402 invalid)
-    flow_len = jnp.where(
-        written, jnp.where(gate_map, len_map, 0.0), state.flow_len)
-    flow_vx = jnp.where(
-        written, jnp.where(gate_map, vx_map, 0.0), state.flow_vx)
-    flow_vy = jnp.where(
-        written, jnp.where(gate_map, vy_map, 0.0), state.flow_vy)
-
-    # ---- aperture stage on (max_window + 1)-extended flow surfaces ----
     A = cfg.max_window + 1
-    len_ext = exchange_halo(flow_len, A, n)
-    vx_ext = exchange_halo(flow_vx, A, n)
-    vy_ext = exchange_halo(flow_vy, A, n)
-    if pk_apert:
-        tvx_map, tvy_map, scale_map = pallas_kernels.aperture_pallas(
-            len_ext, vx_ext, vy_ext, cfg, halo=A)
-    else:
-        tvx_map, tvy_map, scale_map = dense_aperture(
-            len_ext, vx_ext, vy_ext, cfg, halo=A)
+    lanes_out = []
+    for p in range(P):
+        sl = slice(p * mp, (p + 1) * mp)
+        xs, ys, ts = x[sl], y[sl], t[sl]
+        t1s = ts + 1
+        ep_val = state.step * P + p
 
-    out_maps = wire_maps(gate_map, vx_map, vy_map, tvx_map, tvy_map,
-                         scale_map, cfg)
+        # staleness kill at phase start (exact; state/surfaces.py)
+        age = (ts[0] + 1) - t_surf
+        stale = (age >= cfg.kill_old_flow_time_us) | (age < 0)
+        flow_len = jnp.where(stale, 0.0, flow_len)
 
-    # ---- per-event gather: owner shard contributes; a reduce-scatter
-    # combines the f32 lanes (exactly one shard is non-zero per lane) and
-    # leaves each shard holding its 1/n lane slice, which is also how the
-    # packed output stays sharded on the wire (P('tx') lane sharding, so
-    # per-call cross-device output traffic is the reduce-scatter's
-    # (n-1)/n instead of a full all-reduce + replicated fetch). Falls
-    # back to psum + replicated output when n does not divide m. ----
-    safe_lx = jnp.clip(lx, 0, rows - 1)
-    lanes = onehot_gather(out_maps, safe_lx, y, rows, cfg.height)
-    lanes = jnp.where(in_core[None, :], lanes, 0.0)
-    m = lanes.shape[1]
-    if n > 1 and m % n == 0:
+        # ---- scatter winners that land in this shard's core rows ----
+        lx = xs - row0
+        in_core = (lx >= 0) & (lx < rows)
+        wsx = jnp.where(is_winner[sl] & in_core, lx, rows)
+        t_pre = t_surf
+        t_surf = t_surf.at[wsx, ys].set(t1s, mode="drop",
+                                        unique_indices=True)
+        epoch = epoch.at[wsx, ys].set(ep_val, mode="drop",
+                                      unique_indices=True)
+        written = epoch == ep_val
+
+        # ---- plane-fit stage on support_radius-extended time surfaces ----
+        t_pre_ext = exchange_halo(t_pre, R, n)
+        t_post_ext = exchange_halo(t_surf, R, n)
+        if pk_local:
+            vx_map, vy_map, gate_map, len_map, theta_map = (
+                pallas_kernels.local_flow_pallas(
+                    t_pre_ext, t_post_ext, cfg, halo=R, row_offset=row0))
+        else:
+            vx_map, vy_map, gate_map, len_map, theta_map = dense_local_flow(
+                t_pre_ext, t_post_ext, cfg, halo=R, row_offset=row0)
+
+        # flow-surface writes (vFlow.cpp:349-356 valid / 398-402 invalid)
+        flow_len = jnp.where(
+            written, jnp.where(gate_map, len_map, 0.0), flow_len)
+        flow_vx = jnp.where(
+            written, jnp.where(gate_map, vx_map, 0.0), flow_vx)
+        flow_vy = jnp.where(
+            written, jnp.where(gate_map, vy_map, 0.0), flow_vy)
+
+        # ---- aperture stage on (max_window + 1)-extended flow surfaces ----
+        len_ext = exchange_halo(flow_len, A, n)
+        vx_ext = exchange_halo(flow_vx, A, n)
+        vy_ext = exchange_halo(flow_vy, A, n)
+        if pk_apert:
+            tvx_map, tvy_map, scale_map = pallas_kernels.aperture_pallas(
+                len_ext, vx_ext, vy_ext, cfg, halo=A)
+        else:
+            tvx_map, tvy_map, scale_map = dense_aperture(
+                len_ext, vx_ext, vy_ext, cfg, halo=A)
+
+        out_maps = wire_maps(gate_map, vx_map, vy_map, tvx_map, tvy_map,
+                             scale_map, cfg)
+
+        # ---- per-event gather: owner shard contributes ----
+        safe_lx = jnp.clip(lx, 0, rows - 1)
+        lanes = onehot_gather(out_maps, safe_lx, ys, rows, cfg.height)
+        lanes_out.append(jnp.where(in_core[None, :], lanes, 0.0))
+
+    # A reduce-scatter combines the f32 lanes (exactly one shard is
+    # non-zero per lane) and leaves each shard holding its 1/n lane
+    # slice, which is also how the packed output stays sharded on the
+    # wire (P('tx') lane sharding, so per-call cross-device output
+    # traffic is the reduce-scatter's (n-1)/n instead of a full
+    # all-reduce + replicated fetch). Falls back to psum + replicated
+    # output when n does not divide m.
+    lanes = (lanes_out[0] if P == 1
+             else jnp.concatenate(lanes_out, axis=1))
+    if n > 1 and m_total % n == 0:
         lanes = jax.lax.psum_scatter(lanes, "tx", scatter_dimension=1,
                                      tiled=True)
     else:

@@ -72,3 +72,26 @@ def test_halo_default_geometry_eight_shards(events):
     cfg = FlowConfig(width=64, height=64, chunk_size=64, steps_per_scan=2,
                      max_window=50, use_pallas=False)
     _compare(cfg, events, 8)
+
+
+def test_halo_engine_sub_phases_matches_base():
+    """cfg.sub_phases must produce identical outputs on the halo engine
+    and the single-device engine (same causal-group semantics)."""
+    import numpy as np
+
+    from farms_tpu.events.io import synthetic_translating_bar
+    from farms_tpu.pipeline.engine import FlowEngine
+
+    ev = synthetic_translating_bar(width=64, height=48, bar_len=16,
+                                   duration_us=15000, jitter_us=10, seed=4)
+    ev.y[:] = np.clip(ev.y, 0, 47)
+    cfg = FlowConfig(width=64, height=48, chunk_size=128, steps_per_scan=2,
+                     max_window=10, window_jump=5, use_pallas=False,
+                     sub_phases=4)
+    a = FlowEngine(cfg).process(ev)
+    b = HaloFlowEngine(cfg, num_devices=4).process(ev)
+    np.testing.assert_array_equal(a.scale, b.scale)
+    valid = a.r_local > 0
+    assert valid.sum() > 50
+    np.testing.assert_allclose(b.vx, a.vx, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(b.r_true, a.r_true, rtol=1e-5, atol=1e-6)
