@@ -34,3 +34,23 @@ def test_iter_file_chunks(tmp_path):
     assert [len(c) for c in chunks] == [30, 30, 30, 10]
     np.testing.assert_array_equal(
         np.concatenate([c.x for c in chunks]), ev.x)
+
+
+def test_stream_equals_oneshot_with_phases_and_f16_wire(tmp_path):
+    """Streaming continuation through the full current operating-point
+    stack: sub_phases causal groups, f16 wire, compact2 upload. A
+    non-phase-aligned continuation boundary must not change outputs
+    (the carried SurfaceState is the only cross-call state)."""
+    ev = synthetic_translating_bar(width=64, height=64, bar_len=16,
+                                   duration_us=25000, jitter_us=15)[:512]
+    path = write_events_txt(ev, str(tmp_path / "p"))
+    cfg = FlowConfig(width=64, height=64, chunk_size=64, steps_per_scan=2,
+                     sub_phases=4, wire="f16")
+
+    one = FlowEngine(cfg).process(ev)
+    streamed = process_file_streaming(FlowEngine(cfg), path,
+                                      chunk_events=192)
+    assert len(streamed) == len(one)
+    np.testing.assert_array_equal(one.scale, streamed.scale)
+    np.testing.assert_allclose(one.r_true, streamed.r_true, rtol=1e-6)
+    np.testing.assert_allclose(one.vx, streamed.vx, rtol=1e-6)
