@@ -67,8 +67,10 @@ def main():
     # tests/test_golden.py::test_chunked_accuracy_operating_point[f16]
     wire = os.environ.get("FARMS_BENCH_WIRE", "f16")
     phases = int(os.environ.get("FARMS_BENCH_PHASES", 2))
+    aphases = int(os.environ.get("FARMS_BENCH_APHASES", 0))
     cfg = FlowConfig(width=320, height=320, chunk_size=m, use_dense=True,
-                     wire=wire, sub_phases=phases)
+                     wire=wire, sub_phases=phases,
+                     aperture_sub_phases=aphases)
 
     ev = synthetic_random_events(n, width=320, height=320, rate_hz=5e6,
                                  seed=0)

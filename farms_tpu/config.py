@@ -66,6 +66,18 @@ class FlowConfig:
     # for the measured error-vs-throughput frontier.
     sub_phases: int = 1
 
+    # Aperture-stage phases per micro-step (dense path): 0 = one aperture
+    # pass per sub-phase (the default coupling). A multiple of sub_phases
+    # runs the pooling stage on finer chronological groups than the
+    # plane-fit stage: each group re-applies the staleness kill at its own
+    # start and pools with its own aperture pass, cutting the pooling
+    # stage's co-batch visibility and stale-flow error (the AEE /
+    # scale-match terms of ACCURACY.md) without paying extra plane-fit
+    # passes (the validity term's cost). Granularities:
+    #   plane fit:  chunk_size / sub_phases
+    #   aperture:   chunk_size / aperture_sub_phases
+    aperture_sub_phases: int = 0
+
     # --- compute path selection ---
     # dense=True (default): per-pixel stencil formulation (ops/dense_flow.py)
     # - the TPU fast path; per-event random access is limited to the initial
@@ -116,6 +128,13 @@ class FlowConfig:
         if self.sub_phases < 1 or self.chunk_size % self.sub_phases:
             raise ValueError(
                 f"sub_phases {self.sub_phases} must be >= 1 and divide "
+                f"chunk_size {self.chunk_size}")
+        if self.aperture_sub_phases and (
+                self.aperture_sub_phases % self.sub_phases
+                or self.chunk_size % self.aperture_sub_phases):
+            raise ValueError(
+                f"aperture_sub_phases {self.aperture_sub_phases} must be a "
+                f"multiple of sub_phases {self.sub_phases} and divide "
                 f"chunk_size {self.chunk_size}")
         if self.wire not in ("f32", "f16"):
             raise ValueError(f"wire must be 'f32' or 'f16', got {self.wire}")

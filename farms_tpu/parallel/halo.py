@@ -202,6 +202,12 @@ class HaloFlowEngine(FlowEngine):
                  mesh: Mesh | None = None):
         if not cfg.use_dense:
             raise ValueError("halo sharding requires the dense compute path")
+        if cfg.aperture_sub_phases and \
+                cfg.aperture_sub_phases != cfg.sub_phases:
+            raise ValueError(
+                "the halo engine runs one aperture pass per sub-phase; "
+                "decoupled aperture_sub_phases is a base/micro_step "
+                "engine feature (set it to 0 here)")
         if mesh is None:
             devs = jax.devices()
             if num_devices is not None:

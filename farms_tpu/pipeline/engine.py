@@ -269,16 +269,38 @@ def micro_step(state: SurfaceState, batch, cfg: FlowConfig):
             flow_vy = jnp.where(
                 written, jnp.where(gate_map, vy_map, 0.0), flow_vy)
 
-            if pk_apert:
-                tvx_map, tvy_map, scale_map = pallas_kernels.aperture_pallas(
-                    flow_len, flow_vx, flow_vy, cfg)
-            else:
-                tvx_map, tvy_map, scale_map = dense_aperture(
-                    flow_len, flow_vx, flow_vy, cfg)
+            # aperture stage, optionally on finer chronological groups
+            # than the plane fit (cfg.aperture_sub_phases): each group
+            # re-applies the staleness kill at its own start time and
+            # runs its own pooling pass. Group 0's kill already happened
+            # at phase start; later groups must treat small *negative*
+            # ages as fresh - stamps written by this phase's later events
+            # sit in the group's near future and will be fresh for
+            # subsequent queries, so only genuinely ancient entries
+            # (age >= kill window, or wrapped past 2^30) die.
+            k = (max(1, cfg.aperture_sub_phases // P)
+                 if cfg.aperture_sub_phases else 1)
+            mg = mp // k
+            for g in range(k):
+                if g:
+                    g0 = ts[g * mg]
+                    age = (g0 + 1) - t_surf
+                    stale = ((age >= cfg.kill_old_flow_time_us)
+                             & (age < (1 << 30))) | (age < -(1 << 30))
+                    flow_len = jnp.where(stale, 0.0, flow_len)
+                if pk_apert:
+                    tvx_map, tvy_map, scale_map = (
+                        pallas_kernels.aperture_pallas(
+                            flow_len, flow_vx, flow_vy, cfg))
+                else:
+                    tvx_map, tvy_map, scale_map = dense_aperture(
+                        flow_len, flow_vx, flow_vy, cfg)
 
-            maps = wire_maps(gate_map, vx_map, vy_map, tvx_map, tvy_map,
-                             scale_map, cfg)
-            lanes_out.append(onehot_gather(maps, xs, ys, W, H))  # [5, mp]
+                maps = wire_maps(gate_map, vx_map, vy_map, tvx_map,
+                                 tvy_map, scale_map, cfg)
+                gsl = slice(g * mg, (g + 1) * mg)
+                lanes_out.append(
+                    onehot_gather(maps, xs[gsl], ys[gsl], W, H))
             continue
 
         # ---- per-event reference path ----
@@ -311,7 +333,8 @@ def micro_step(state: SurfaceState, batch, cfg: FlowConfig):
              jnp.where(gate_valid, true_vy, 0.0),
              aux_f], axis=0))
 
-    lanes = lanes_out[0] if P == 1 else jnp.concatenate(lanes_out, axis=1)
+    lanes = (lanes_out[0] if len(lanes_out) == 1
+             else jnp.concatenate(lanes_out, axis=1))
     out = wire_pack(lanes[0], lanes[1], lanes[2], lanes[3], lanes[4], cfg)
     new_state = SurfaceState(t_surf, epoch, flow_len, flow_vx, flow_vy,
                              state.step + 1)

@@ -134,6 +134,9 @@ def main():
     ap.add_argument("--phases", nargs="+", type=int, default=[1],
                     help="sub_phases values to cross with --chunks "
                          "(FlowConfig.sub_phases)")
+    ap.add_argument("--aperture-phases", nargs="+", type=int, default=[0],
+                    help="aperture_sub_phases values to cross in "
+                         "(0 = coupled to sub_phases)")
     ap.add_argument("--wire", default="f16",
                     help="wire format for the engine (bench ships f16)")
     ap.add_argument("--out", default="ACCURACY.json")
@@ -151,21 +154,24 @@ def main():
         rows = []
         for m in args.chunks:
             for P in args.phases:
-                if m % P:
-                    continue
-                cfg = FlowConfig(width=320, height=320, chunk_size=m,
-                                 steps_per_scan=8, sub_phases=P,
-                                 wire=args.wire)
-                eng = FlowEngine(cfg)
-                t0 = time.time()
-                got = eng.process(ev)
-                dt = time.time() - t0
-                row = {"chunk_size": m, "sub_phases": P,
-                       "span_us_per_chunk": round(m / rate * 1e6),
-                       **metrics(got, orc)}
-                rows.append(row)
-                print(f"[{kind} m={m} P={P}] {json.dumps(row)} ({dt:.0f}s)",
-                      flush=True)
+                for AP in args.aperture_phases:
+                    if m % P or (AP and (AP % P or m % AP)):
+                        continue
+                    cfg = FlowConfig(width=320, height=320, chunk_size=m,
+                                     steps_per_scan=8, sub_phases=P,
+                                     aperture_sub_phases=AP,
+                                     wire=args.wire)
+                    eng = FlowEngine(cfg)
+                    t0 = time.time()
+                    got = eng.process(ev)
+                    dt = time.time() - t0
+                    row = {"chunk_size": m, "sub_phases": P,
+                           "aperture_sub_phases": AP,
+                           "span_us_per_chunk": round(m / rate * 1e6),
+                           **metrics(got, orc)}
+                    rows.append(row)
+                    print(f"[{kind} m={m} P={P} AP={AP}] {json.dumps(row)} "
+                          f"({dt:.0f}s)", flush=True)
         results["streams"][kind] = {"rate_ev_per_s": round(rate), "rows": rows}
 
     out_json = os.path.join(REPO, args.out)

@@ -167,9 +167,10 @@ def test_chunked_accuracy_operating_point(wire):
     (9 B/event, FlowConfig.wire), so the operating-point budget must hold
     through its ~0.05% component quantization too.
 
-    The headline bench runs chunk_size=65536 at ~4 M ev/s, i.e. a chunk
-    spans ~33 freshness windows (KILL_OLD_FLOW_TIME=500 us,
-    vFlow.cpp:961). This fixture reproduces that regime CPU-sized: a
+    The headline bench runs chunk 131072 with sub_phases=2 at ~4 M ev/s:
+    causality granularity 65536, i.e. a causal group spans ~33 freshness
+    windows (KILL_OLD_FLOW_TIME=500 us, vFlow.cpp:961). This fixture
+    reproduces that regime CPU-sized: a
     64x64 sensor, ~30 K ev/s structured stream (3 staggered translating
     bars + 40% background noise), chunk_size=512 -> ~17.3 ms per chunk
     = ~34.6 freshness windows, *harsher* than the operating point.
@@ -245,3 +246,31 @@ def test_streaming_continuation_equals_one_shot(bar_events):
     # first segment, which is chunk-aligned (256 = 4 calls of 64)
     np.testing.assert_allclose(one.r_true[:256], parts[0].r_true, rtol=1e-6)
     np.testing.assert_array_equal(one.scale[:256], parts[0].scale)
+
+
+def test_aperture_sub_phases_semantics(bar_events):
+    """Decoupled aperture phasing (FlowConfig.aperture_sub_phases):
+    AP == P must be identical to the coupled default, and finer AP must
+    leave local-stage results (validity, vx/vy) bit-identical while only
+    the pooled true-flow/scale columns move."""
+    cfg0 = FlowConfig(width=64, height=64, chunk_size=256, steps_per_scan=4,
+                      sub_phases=2)
+    cfg_same = FlowConfig(width=64, height=64, chunk_size=256,
+                          steps_per_scan=4, sub_phases=2,
+                          aperture_sub_phases=2)
+    cfg_fine = FlowConfig(width=64, height=64, chunk_size=256,
+                          steps_per_scan=4, sub_phases=2,
+                          aperture_sub_phases=8)
+    a = FlowEngine(cfg0).process(bar_events)
+    b = FlowEngine(cfg_same).process(bar_events)
+    c = FlowEngine(cfg_fine).process(bar_events)
+    for col in ("vx", "vy", "r_local", "theta_local", "r_true", "scale"):
+        np.testing.assert_array_equal(getattr(a, col), getattr(b, col))
+    # local stage untouched by finer aperture groups
+    np.testing.assert_array_equal(a.vx, c.vx)
+    np.testing.assert_array_equal(a.vy, c.vy)
+    np.testing.assert_array_equal(a.r_local, c.r_local)
+    assert len(c) == len(a)
+
+    with pytest.raises(ValueError):
+        FlowConfig(chunk_size=256, sub_phases=4, aperture_sub_phases=6)
