@@ -73,6 +73,24 @@ def build_parser() -> argparse.ArgumentParser:
                    help="largest aperture half-window")
     p.add_argument("--kill-old-flow-us", type=int, default=500,
                    help="freshness gate for aperture pooling (us)")
+    p.add_argument("--sub-phases", type=int, default=1,
+                   help="causal groups per micro-batch: the accuracy "
+                        "granularity is chunk-size/sub-phases (ACCURACY.md)")
+    p.add_argument("--aperture-sub-phases", type=int, default=0,
+                   help="finer phasing for the aperture stage only "
+                        "(0 = coupled to --sub-phases)")
+    p.add_argument("--wire", type=str, default="f32",
+                   choices=["f32", "f16"],
+                   help="device->host output precision: f16 = 9 B/event "
+                        "(~0.05%% component quantization), f32 = 17 B/event")
+    p.add_argument("--layout", type=str, default="xytp",
+                   choices=["xytp", "txyp"],
+                   help="input column order: xytp = reference layout, "
+                        "txyp = Event Camera Dataset / DAVIS events.txt")
+    p.add_argument("--time-unit", type=str, default="us",
+                   choices=["us", "s"],
+                   help="input timestamp unit (DAVIS txyp files use "
+                        "float seconds)")
     p.add_argument("--y-clamp-quirk", action="store_true",
                    help="replicate the reference's y-clamped-by-width bug")
     p.add_argument("--no-output", action="store_true",
@@ -141,6 +159,9 @@ def main(argv=None) -> int:
         kill_old_flow_time_us=args.kill_old_flow_us,
         chunk_size=1 if serial else args.chunk_size,
         steps_per_scan=args.steps_per_scan,
+        sub_phases=1 if serial else args.sub_phases,
+        aperture_sub_phases=0 if serial else args.aperture_sub_phases,
+        wire=args.wire,
         use_dense=use_dense,
         use_pallas=use_pallas,
         replicate_y_clamp_quirk=args.y_clamp_quirk,
@@ -148,7 +169,8 @@ def main(argv=None) -> int:
 
     print(args.filename + ".txt")
     print("Reading input file ")
-    ev = load_events_txt(args.filename, args.num_events)
+    ev = load_events_txt(args.filename, args.num_events,
+                         layout=args.layout, time_unit=args.time_unit)
     print(f"Done reading {len(ev)} Events.")
     if len(ev) == 0:
         print("Unable to open file")  # vFlow.cpp:802

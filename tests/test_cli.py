@@ -125,3 +125,28 @@ def test_cli_backend_selection(tmp_path):
     # characterized by the sweep tests)
     np.testing.assert_allclose(mats["perevent"], mats["dense"],
                                rtol=5e-3, atol=1e-4)
+
+
+def test_cli_new_knobs_reachable(tmp_path, capsys):
+    """--sub-phases/--wire/--layout/--time-unit flow through to the engine
+    and the DAVIS layout parses end-to-end."""
+    import numpy as np
+
+    from farms_tpu.events.io import (read_flow_txt,
+                                     synthetic_translating_bar,
+                                     write_events_davis_txt)
+
+    ev = synthetic_translating_bar(width=48, height=48, bar_len=14,
+                                   duration_us=12000, jitter_us=10)[:200]
+    base = str(tmp_path / "dv")
+    write_events_davis_txt(ev, base + ".txt")
+    rc = main(["--filename", base, "--width", "48", "--height", "48",
+                   "--layout", "txyp", "--time-unit", "s",
+                   "--sub-phases", "2", "--aperture-sub-phases", "4",
+                   "--wire", "f16", "--chunk-size", "32",
+                   "--numEvents", str(len(ev))])
+    assert rc == 0
+    out = read_flow_txt(base + "_FARMSOut_batch.txt")
+    assert len(out) == len(ev)
+    np.testing.assert_array_equal(out.x, ev.x)
+    assert (out.r_true != 0).sum() > 20
