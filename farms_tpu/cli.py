@@ -169,7 +169,21 @@ def main(argv=None) -> int:
 
     print(args.filename + ".txt")
     print("Reading input file ")
-    ev = load_events_txt(args.filename, args.num_events,
+    max_events = args.num_events
+    if serial:
+        # serial mode caps the event count at filesize / 18 bytes - the
+        # reference's rough ~18-bytes-per-line heuristic (vFlow.cpp:511);
+        # batch mode does not (the equivalent cap is commented out,
+        # vFlow.cpp:164)
+        import os as _os
+        path = args.filename if args.filename.endswith(".txt") \
+            else args.filename + ".txt"
+        try:
+            cap = _os.path.getsize(path) // 18
+            max_events = cap if max_events is None else min(max_events, cap)
+        except OSError:
+            pass
+    ev = load_events_txt(args.filename, max_events,
                          layout=args.layout, time_unit=args.time_unit)
     print(f"Done reading {len(ev)} Events.")
     if len(ev) == 0:
