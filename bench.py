@@ -131,9 +131,16 @@ def main():
 
     # e2e wire context: the remote-execution tunnel sustains ~27 MB/s per
     # stream / ~50 MB/s on two (scripts/_prof_wire.py), so the e2e lane is
-    # transport-bound at 17 B/event round trip; report the achieved wire
-    # rate so the bound is visible next to the number
-    wire_bytes = 8 + (9 if wire == "f16" else 17)
+    # transport-bound; report the achieved wire rate so the bound is
+    # visible next to the number. Upload is 4 B/event when the compact2
+    # delta layout applied to this stream (pack2), else 8
+    up_bytes = 8
+    if e2e_calls:
+        probe = FlowEngine(cfg)
+        _, bases, _ = probe.pack2(ev[: 4 * m])
+        if bases is not None:
+            up_bytes = 4
+    wire_bytes = up_bytes + (9 if wire == "f16" else 17)
     print(json.dumps({
         "metric": "events_per_second_single_chip",
         "value": round(best, 1),
