@@ -37,17 +37,27 @@ class BenchResult:
 
 
 def _time_resident(engine: FlowEngine, ev: EventBatch, reps: int = 2) -> float:
+    """Sustained device-resident rate.
+
+    Each timed rep chains enough dispatches (>= ~4M events) before the
+    single fence fetch: through the remote tunnel, per-dispatch RPC +
+    sync latency is O(100 ms), so timing one call measures the link, not
+    the chip (the state chain re-runs the same chunk; throughput is
+    stationary in the carried surfaces).
+    """
     fn, n = engine.process_resident(ev)
     out = fn()
     float(jnp.sum(out[0]))  # warmup + force materialization
+    calls = max(1, -(-4_000_000 // n))
     best = 0.0
     for _ in range(reps):
         engine.reset()
         fn, n = engine.process_resident(ev)
         t0 = time.perf_counter()
-        out = fn()
+        for _ in range(calls):
+            out = fn()
         float(jnp.sum(out[0]))
-        best = max(best, n / (time.perf_counter() - t0))
+        best = max(best, calls * n / (time.perf_counter() - t0))
     return best
 
 
@@ -155,6 +165,8 @@ def main(argv=None):  # pragma: no cover - hardware-dependent
     p = argparse.ArgumentParser(description="FARMS-TPU benchmark harness")
     p.add_argument("--configs", default="1",
                    help="comma-separated config ids (1-5) or 'all'")
+    p.add_argument("--out", default=None,
+                   help="also append result lines to this JSONL file")
     args = p.parse_args(argv)
     ids = list(ALL_CONFIGS) if args.configs == "all" \
         else args.configs.split(",")
@@ -162,15 +174,22 @@ def main(argv=None):  # pragma: no cover - hardware-dependent
     if unknown:
         p.error(f"unknown config id(s) {unknown}; "
                 f"valid: {', '.join(ALL_CONFIGS)} or 'all'")
+    sink = open(args.out, "a") if args.out else None
     for cid in ids:
         res = ALL_CONFIGS[cid]()
         for r in (res if isinstance(res, list) else [res]):
-            print(json.dumps({
+            line = json.dumps({
                 "config": r.name,
                 "events": r.events,
                 "events_per_sec": round(r.events_per_sec, 1),
                 **r.extra,
-            }))
+            })
+            print(line, flush=True)
+            if sink:
+                sink.write(line + "\n")
+                sink.flush()
+    if sink:
+        sink.close()
 
 
 if __name__ == "__main__":  # pragma: no cover
