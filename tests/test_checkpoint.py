@@ -83,3 +83,35 @@ def test_checkpoint_rejects_wrong_geometry(tmp_path):
     other = FlowEngine(FlowConfig(width=32, height=32))
     with pytest.raises(ValueError):
         load_engine(other, path)
+
+
+def test_checkpoint_across_sub_phase_settings(tmp_path):
+    """A state saved under one sub_phases setting must restore cleanly
+    into an engine with another: epoch values are step*P + p, strictly
+    monotone across steps for any P, so the restored engine's next write
+    epochs can never collide with saved ones."""
+    ev = synthetic_translating_bar(width=64, height=64, bar_len=20,
+                                   duration_us=30000, jitter_us=20)[:512]
+    cfg1 = FlowConfig(width=64, height=64, chunk_size=64, steps_per_scan=2,
+                      sub_phases=1)
+    cfg4 = FlowConfig(width=64, height=64, chunk_size=64, steps_per_scan=2,
+                      sub_phases=4)
+
+    # continuation under P=4 of a P=1-saved state == P=1 first half then
+    # P=4 second half run without the checkpoint round-trip
+    eng = FlowEngine(cfg1)
+    eng.process(ev[:256])
+    path = save_engine(eng, str(tmp_path / "xp"))
+
+    direct = FlowEngine(cfg1)
+    direct.process(ev[:256])
+    direct.cfg = cfg4            # continue with phased steps
+    want = FlowEngine(cfg4)
+    want.state, want._t0 = direct.state, direct._t0
+    expected = want.process(ev[256:])
+
+    resumed = load_engine(FlowEngine(cfg4), path)
+    got = resumed.process(ev[256:])
+    np.testing.assert_array_equal(expected.scale, got.scale)
+    np.testing.assert_allclose(expected.r_true, got.r_true, rtol=1e-6)
+    np.testing.assert_array_equal(expected.r_local > 0, got.r_local > 0)
