@@ -54,3 +54,40 @@ def test_native_write_roundtrip(tmp_path):
     np.testing.assert_array_equal(back.x, mat[:, 0].astype(np.int32))
     np.testing.assert_allclose(back.vx, mat[:, 6], rtol=1e-4)
     np.testing.assert_array_equal(back.scale, mat[:, 10].astype(np.int32))
+
+
+@pytest.mark.parametrize("subphases", [1, 4])
+def test_native_compact_pack_matches_numpy(subphases):
+    """farms_pack_compact (C++) vs the engine's NumPy fallback: identical
+    words (flat index | winner bit) and stamps, including per-sub-phase
+    winner resolution blocks (ADVICE r2: the _check_compact.py scratch
+    check, promoted to a proper test)."""
+    from farms_tpu.config import FlowConfig
+    from farms_tpu.events.io import synthetic_random_events
+    from farms_tpu.pipeline.engine import FlowEngine
+    from farms_tpu.utils import nativeio
+
+    if not nativeio.available() or not hasattr(nativeio._lib(),
+                                               "farms_pack_compact"):
+        pytest.skip("native library not built")
+
+    cfg = FlowConfig(width=64, height=48, chunk_size=256, steps_per_scan=2,
+                     sub_phases=subphases)
+    ev = synthetic_random_events(1500, width=64, height=48, rate_hz=2e6,
+                                 seed=5)
+
+    eng = FlowEngine(cfg)
+    native, n1 = eng.pack(ev, compact=True)
+
+    # force the NumPy path by hiding the native symbol
+    eng2 = FlowEngine(cfg)
+    orig = nativeio.pack_compact
+    nativeio.pack_compact = lambda *a, **k: None
+    try:
+        numpy_packed, n2 = eng2.pack(ev, compact=True)
+    finally:
+        nativeio.pack_compact = orig
+
+    assert n1 == n2 == len(ev)
+    assert native.shape == numpy_packed.shape and native.shape[2] == 2
+    np.testing.assert_array_equal(native, numpy_packed)
