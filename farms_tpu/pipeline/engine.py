@@ -591,7 +591,10 @@ class FlowEngine:
     # target events per scan call for the streaming pipeline: large chunks
     # split into several in-flight calls so D2H fetches overlap the next
     # call's upload + compute (small chunks already batch steps_per_scan
-    # micro-steps per call and are unaffected)
+    # micro-steps per call and are unaffected). ~128K events per call
+    # measured best end-to-end through the remote link (256K units were
+    # no better - transfer-size gains lose to having fewer calls in
+    # flight; the lane's run-to-run jitter is ~20% either way)
     _PIPELINE_EVENTS = 131072
 
     def process(self, ev: EventBatch,
