@@ -122,8 +122,14 @@ class MultiHostFlowEngine(FlowEngine):
         out_sh = (NamedSharding(self.mesh, P(None, None, "ev")),
                   NamedSharding(self.mesh, P(None, "ev")))
         # multi-process collectives must be issued in the same order on
-        # every process: drain fetches on a single FIFO worker then
-        self._FETCH_THREADS = (1 if jax.process_count() > 1
+        # every process: _fetch's process_allgather is itself a
+        # collective, and even one FIFO fetch worker orders fetches only
+        # against each other, not against the main thread's scan
+        # dispatches - two processes can interleave them differently and
+        # deadlock (ADVICE.md r3). 0 selects the base engine's inline
+        # mode: dispatch every scan first, then fetch in order on the
+        # main thread, one deterministic global collective order.
+        self._FETCH_THREADS = (0 if jax.process_count() > 1
                                else FlowEngine._FETCH_THREADS)
 
         @functools.partial(

@@ -73,9 +73,21 @@ def load_engine(engine: FlowEngine, path: str) -> FlowEngine:
         if shape != expect:
             raise ValueError(
                 f"checkpoint geometry {shape} != config geometry {expect}")
+        # Neutralize write-epoch history (ADVICE.md r3, high): epoch is
+        # only ever consumed via equality with a *future* write epoch
+        # (micro_step: written = epoch == ep_val, ep_val = step*P + p).
+        # Within one run ep_vals are unique, but a restore into an engine
+        # with a smaller sub_phases P shrinks the per-step epoch stride,
+        # so future ep_vals can collide with saved ones and spuriously
+        # mark untouched pixels as written-this-group. Mapping every
+        # historical epoch to a sentinel (< -1, never a valid ep_val)
+        # is exact: at a step boundary no pixel was written by the
+        # *current* group, which is all the field encodes.
+        ep = data["epoch"]
+        ep = np.where(ep >= 0, np.int32(-2), ep).astype(np.int32)
         state = SurfaceState(
             t_surf=repad(data["t_surf"], 0),
-            epoch=repad(data["epoch"], -1),
+            epoch=repad(ep, -1),
             flow_len=repad(data["flow_len"], 0.0),
             flow_vx=repad(data["flow_vx"], 0.0),
             flow_vy=repad(data["flow_vy"], 0.0),

@@ -280,6 +280,12 @@ def micro_step(state: SurfaceState, batch, cfg: FlowConfig):
             # (age >= kill window, or wrapped past 2^30) die.
             k = (max(1, cfg.aperture_sub_phases // P)
                  if cfg.aperture_sub_phases else 1)
+            if mp % k:
+                # same divisibility fallback as the P selection above:
+                # a non-dividing group count would silently drop the
+                # mp - k*(mp//k) trailing lanes from the wire output
+                # (ADVICE.md r3)
+                k = 1
             mg = mp // k
             for g in range(k):
                 if g:
@@ -621,6 +627,24 @@ class FlowEngine:
         else:
             packed, n = self.pack(ev, steps_per_call=steps_per_call,
                                   compact=self._compact_ok)
+        if self._FETCH_THREADS <= 0:
+            # deterministic single-thread mode (multi-process engines:
+            # _fetch may issue collectives, which every process must
+            # issue in one global order relative to the scan dispatches
+            # - a fetch worker thread interleaves them differently per
+            # process and can deadlock, ADVICE.md r3). Dispatch the full
+            # chunk sequence first (async), then fetch in order.
+            outs = []
+            for c in range(packed.shape[0]):
+                if bases is not None:
+                    self.state, out = scan_chunk2(
+                        self.state, jnp.asarray(packed[c]),
+                        jnp.asarray(bases[c]), self.cfg)
+                else:
+                    self.state, out = self._dispatch(jnp.asarray(packed[c]))
+                outs.append(out)
+            blocks = [tuple(self._fetch(o) for o in out) for out in outs]
+            return self._unpack_outputs(blocks, ev, n)
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=self._FETCH_THREADS) as pool:

@@ -85,33 +85,50 @@ def test_checkpoint_rejects_wrong_geometry(tmp_path):
         load_engine(other, path)
 
 
-def test_checkpoint_across_sub_phase_settings(tmp_path):
-    """A state saved under one sub_phases setting must restore cleanly
-    into an engine with another: epoch values are step*P + p, strictly
-    monotone across steps for any P, so the restored engine's next write
-    epochs can never collide with saved ones."""
+def _sub_phase_portability(tmp_path, p_save, p_resume, tag):
+    """A state saved under sub_phases=p_save must resume exactly under
+    sub_phases=p_resume. Write epochs are step*P + p; load_engine
+    neutralizes the saved epoch history (maps it below every possible
+    future ep_val) because resuming into a SMALLER P shrinks the per-step
+    epoch stride and future ep_vals would otherwise collide with saved
+    ones, spuriously marking untouched pixels written (ADVICE.md r3)."""
     ev = synthetic_translating_bar(width=64, height=64, bar_len=20,
                                    duration_us=30000, jitter_us=20)[:512]
-    cfg1 = FlowConfig(width=64, height=64, chunk_size=64, steps_per_scan=2,
-                      sub_phases=1)
-    cfg4 = FlowConfig(width=64, height=64, chunk_size=64, steps_per_scan=2,
-                      sub_phases=4)
+    cfg_a = FlowConfig(width=64, height=64, chunk_size=64, steps_per_scan=2,
+                       sub_phases=p_save)
+    cfg_b = FlowConfig(width=64, height=64, chunk_size=64, steps_per_scan=2,
+                       sub_phases=p_resume)
 
-    # continuation under P=4 of a P=1-saved state == P=1 first half then
-    # P=4 second half run without the checkpoint round-trip
-    eng = FlowEngine(cfg1)
+    # continuation under p_resume of a p_save-saved state == p_save first
+    # half then p_resume second half run without the checkpoint round-trip
+    eng = FlowEngine(cfg_a)
     eng.process(ev[:256])
-    path = save_engine(eng, str(tmp_path / "xp"))
+    path = save_engine(eng, str(tmp_path / f"xp_{tag}"))
 
-    direct = FlowEngine(cfg1)
+    direct = FlowEngine(cfg_a)
     direct.process(ev[:256])
-    direct.cfg = cfg4            # continue with phased steps
-    want = FlowEngine(cfg4)
-    want.state, want._t0 = direct.state, direct._t0
+    want = FlowEngine(cfg_b)
+    # collision-free continuation oracle: carry the surfaces over but
+    # restart the epoch history the same way load_engine does
+    import jax.numpy as jnp
+    st = direct.state
+    want.state = st._replace(
+        epoch=jnp.where(st.epoch >= 0, jnp.int32(-2), st.epoch))
+    want._t0 = direct._t0
     expected = want.process(ev[256:])
 
-    resumed = load_engine(FlowEngine(cfg4), path)
+    resumed = load_engine(FlowEngine(cfg_b), path)
     got = resumed.process(ev[256:])
     np.testing.assert_array_equal(expected.scale, got.scale)
     np.testing.assert_allclose(expected.r_true, got.r_true, rtol=1e-6)
     np.testing.assert_array_equal(expected.r_local > 0, got.r_local > 0)
+
+
+def test_checkpoint_sub_phases_increasing(tmp_path):
+    _sub_phase_portability(tmp_path, p_save=1, p_resume=4, tag="up")
+
+
+def test_checkpoint_sub_phases_decreasing(tmp_path):
+    # the direction that used to corrupt state: P=4-saved epochs (stride
+    # 4 per step) collide with P=1 future ep_vals unless neutralized
+    _sub_phase_portability(tmp_path, p_save=4, p_resume=1, tag="down")
