@@ -63,8 +63,21 @@ def build_parser() -> argparse.ArgumentParser:
                         "0 = batched processing (default, runFileCopy)")
     p.add_argument("--v", type=int, default=0, help="verbose mode")
     # TPU-native flags
-    p.add_argument("--chunk-size", type=int, default=4096,
-                   help="events per micro-batch (1 = exact serial semantics)")
+    p.add_argument("--preset", type=str, default=None,
+                   choices=["benchmark", "fidelity", "exact"],
+                   help="validated (chunk-size, sub-phases, wire) bundles "
+                        "(ACCURACY.md): benchmark = the BENCH operating "
+                        "point (131072 @ P=2, f16 wire - highest measured "
+                        "throughput inside the accuracy budget); fidelity = "
+                        "131072 @ P=8 (>=95%% validity agreement vs the "
+                        "event-serial semantics); exact = chunk 1 "
+                        "(bit-exact reference semantics). Explicit "
+                        "--chunk-size/--sub-phases/--wire flags override "
+                        "preset members")
+    p.add_argument("--chunk-size", type=int, default=None,
+                   help="events per micro-batch (1 = exact serial "
+                        "semantics; default: the benchmark preset's 131072 "
+                        "on a TPU backend, 4096 elsewhere)")
     p.add_argument("--steps-per-scan", type=int, default=8,
                    help="micro-steps fused per device dispatch")
     p.add_argument("--window-jump", type=int, default=5,
@@ -73,16 +86,21 @@ def build_parser() -> argparse.ArgumentParser:
                    help="largest aperture half-window")
     p.add_argument("--kill-old-flow-us", type=int, default=500,
                    help="freshness gate for aperture pooling (us)")
-    p.add_argument("--sub-phases", type=int, default=1,
+    p.add_argument("--sub-phases", type=int, default=None,
                    help="causal groups per micro-batch: the accuracy "
-                        "granularity is chunk-size/sub-phases (ACCURACY.md)")
+                        "granularity is chunk-size/sub-phases (ACCURACY.md; "
+                        "default: the benchmark preset's 2 on a TPU "
+                        "backend, 1 elsewhere)")
     p.add_argument("--aperture-sub-phases", type=int, default=0,
                    help="finer phasing for the aperture stage only "
                         "(0 = coupled to --sub-phases)")
-    p.add_argument("--wire", type=str, default="f32",
-                   choices=["f32", "f16"],
+    p.add_argument("--wire", type=str, default=None,
+                   choices=["f32", "f16", "sparse"],
                    help="device->host output precision: f16 = 9 B/event "
-                        "(~0.05%% component quantization), f32 = 17 B/event")
+                        "(~0.05%% component quantization), f32 = 17 B/event, "
+                        "sparse = validity-sparse f16 (~4.6 B/event + 5 B "
+                        "per valid event). Default: f16 on a TPU backend "
+                        "(the benchmark preset), f32 elsewhere")
     p.add_argument("--layout", type=str, default="xytp",
                    choices=["xytp", "txyp"],
                    help="input column order: xytp = reference layout, "
@@ -137,9 +155,38 @@ def make_engine(cfg: FlowConfig, engine: str, devices: int):
     return FlowEngine(cfg)
 
 
+# validated (chunk_size, sub_phases, wire) bundles - ACCURACY.md /
+# BENCHMARKS.jsonl document the measured throughput/error rows for each
+_PRESETS = {
+    "benchmark": (131072, 2, "f16"),
+    "fidelity": (131072, 8, "f16"),
+    "exact": (1, 1, "f32"),
+}
+
+
+def _resolve_operating_point(args) -> tuple[int, int, str]:
+    """Fill unset --chunk-size/--sub-phases/--wire from the preset.
+
+    With no --preset either, the default preset is `benchmark` on a TPU
+    backend - so a bare `farms-flow --filename X` on the chip reproduces
+    the validated BENCH operating point (VERDICT.md r3 item 7) - and a
+    small CPU-friendly point (4096, 1, f32) elsewhere, where the 131072
+    chunk would swamp host compile/execute times.
+    """
+    preset = args.preset
+    if preset is None:
+        import jax
+        preset = "benchmark" if jax.default_backend() == "tpu" else None
+    chunk, phases, wire = _PRESETS.get(preset, (4096, 1, "f32"))
+    return (args.chunk_size if args.chunk_size is not None else chunk,
+            args.sub_phases if args.sub_phases is not None else phases,
+            args.wire if args.wire is not None else wire)
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     serial = args.SERIAL == 1
+    chunk_size, sub_phases, wire = _resolve_operating_point(args)
 
     if args.multihost:
         from farms_tpu.parallel.multihost import init_distributed
@@ -157,11 +204,11 @@ def main(argv=None) -> int:
         window_jump=args.window_jump,
         max_window=args.max_window,
         kill_old_flow_time_us=args.kill_old_flow_us,
-        chunk_size=1 if serial else args.chunk_size,
+        chunk_size=1 if serial else chunk_size,
         steps_per_scan=args.steps_per_scan,
-        sub_phases=1 if serial else args.sub_phases,
+        sub_phases=1 if serial else sub_phases,
         aperture_sub_phases=0 if serial else args.aperture_sub_phases,
-        wire=args.wire,
+        wire=wire,
         use_dense=use_dense,
         use_pallas=use_pallas,
         replicate_y_clamp_quirk=args.y_clamp_quirk,

@@ -67,13 +67,18 @@ class FlowConfig:
     sub_phases: int = 1
 
     # Aperture-stage phases per micro-step (dense path): 0 = one aperture
-    # pass per sub-phase (the default coupling). A multiple of sub_phases
+    # pass per sub-phase (the default coupling). A MULTIPLE of sub_phases
     # runs the pooling stage on finer chronological groups than the
     # plane-fit stage: each group re-applies the staleness kill at its own
     # start and pools with its own aperture pass, cutting the pooling
     # stage's co-batch visibility and stale-flow error (the AEE /
     # scale-match terms of ACCURACY.md) without paying extra plane-fit
-    # passes (the validity term's cost). Granularities:
+    # passes. A DIVISOR of sub_phases runs pooling once per
+    # sub_phases/aperture_sub_phases plane-fit groups: validity comes
+    # from the plane fit alone, so fine plane-fit phasing with coarse
+    # pooling keeps validity agreement at the fine granularity for a
+    # fraction of uniform fine phasing's cost (the operating-point lever
+    # behind the `fidelity` preset). Granularities:
     #   plane fit:  chunk_size / sub_phases
     #   aperture:   chunk_size / aperture_sub_phases
     aperture_sub_phases: int = 0
@@ -103,6 +108,17 @@ class FlowConfig:
     #          ~0.05% component quantization, validated against the
     #          accuracy budget at the benchmark operating point by
     #          tests/test_golden.py::test_chunked_accuracy_operating_point
+    #   "sparse": validity-sparse f16 - the aux byte ships for every
+    #          event (valid bit 7, present bit 6, scale id bits 0-5) but
+    #          the f16 component pairs ship only for lanes that carry
+    #          them: the raw vx/vy pair only where the plane fit accepted
+    #          (elsewhere it is exactly 0, engine.py), the true pair only
+    #          where valid (elsewhere derived as 0 host-side,
+    #          vFlow.cpp:390-395). ~1 + 4*accept + 4*valid B/event - the
+    #          e2e lane is D2H-bandwidth-bound and most streams are
+    #          mostly-invalid (ACCURACY.md: 2.4% on the benchmark random
+    #          stream). Engine-level compaction: pipeline/engine.py
+    #          _sparse_pack_outputs.
     wire: str = "f32"
 
     # --- internal: padded device-array geometry (sharded engines) ---
@@ -130,17 +146,20 @@ class FlowConfig:
                 f"sub_phases {self.sub_phases} must be >= 1 and divide "
                 f"chunk_size {self.chunk_size}")
         if self.aperture_sub_phases and (
-                self.aperture_sub_phases % self.sub_phases
+                (self.aperture_sub_phases % self.sub_phases
+                 and self.sub_phases % self.aperture_sub_phases)
                 or self.chunk_size % self.aperture_sub_phases):
             raise ValueError(
                 f"aperture_sub_phases {self.aperture_sub_phases} must be a "
-                f"multiple of sub_phases {self.sub_phases} and divide "
-                f"chunk_size {self.chunk_size}")
-        if self.wire not in ("f32", "f16"):
-            raise ValueError(f"wire must be 'f32' or 'f16', got {self.wire}")
-        if self.num_scales > 127:
+                f"multiple or divisor of sub_phases {self.sub_phases} and "
+                f"divide chunk_size {self.chunk_size}")
+        if self.wire not in ("f32", "f16", "sparse"):
             raise ValueError(
-                "wire aux byte encodes the scale id in 7 bits; "
+                f"wire must be 'f32', 'f16' or 'sparse', got {self.wire}")
+        if self.num_scales > (63 if self.wire == "sparse" else 127):
+            raise ValueError(
+                "wire aux byte encodes the scale id in "
+                f"{6 if self.wire == 'sparse' else 7} bits; "
                 f"{self.num_scales} scales do not fit")
         if self.padded_width is not None and self.padded_width < self.width:
             raise ValueError("padded_width < width")

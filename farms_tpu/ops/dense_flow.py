@@ -57,7 +57,7 @@ def _shifted(arr, ox, oy, fill, halo: int = 0):
 
 
 def dense_local_flow(t_pre, t_post, cfg: FlowConfig, *,
-                     halo: int = 0, row_offset=0):
+                     halo: int = 0, row_offset=0, want_ids: bool = False):
     """Local plane-fit flow for every pixel, against its causal surface view.
 
     `t_pre`/`t_post` are stamp1-encoded surfaces (stamp + 1, 0 = never
@@ -204,11 +204,17 @@ def dense_local_flow(t_pre, t_post, cfg: FlowConfig, *,
                   & (raw_vx != 0) & (raw_vy != 0))      # vFlow.cpp:315
     length = jnp.sqrt(raw_vx * raw_vx + raw_vy * raw_vy)
     theta = jnp.arctan2(raw_vy, raw_vx)
+    if want_ids:
+        # selection diagnostics for the exact-equivalence tests: the
+        # winning candidate index (scan order) and the per-candidate
+        # score stack (to identify legitimate fp near-ties)
+        return (raw_vx, raw_vy, gate_valid, length, theta,
+                best.astype(jnp.int32), score_stack)
     return raw_vx, raw_vy, gate_valid, length, theta
 
 
 def dense_aperture(flow_len, flow_vx, flow_vy, cfg: FlowConfig, *,
-                   halo: int = 0):
+                   halo: int = 0, want_ids: bool = False):
     """Multi-scale aperture pooling for every pixel via shifted integrals.
 
     Box sums come from 4 clamped static shifts of the padded integral image
@@ -302,6 +308,10 @@ def dense_aperture(flow_len, flow_vx, flow_vy, cfg: FlowConfig, *,
     tvx = jnp.where(pooled, tvx, core_vx)
     tvy = jnp.where(pooled, tvy, core_vy)
     scale = jnp.where(pooled, scale, 0)
+    if want_ids:
+        # the per-scale mean-length stack, for identifying legitimate
+        # near-tie scale winners in the exact-equivalence tests
+        return tvx, tvy, scale, ml
     return tvx, tvy, scale
 
 

@@ -140,7 +140,7 @@ def aperture_supported(cfg: FlowConfig) -> bool:
 # --------------------------------------------------------------------------
 
 def _local_flow_kernel(off_ref, tq_hbm, tp_hbm,
-                       acc_ref, a_ref, b_ref, dtdp_ref,
+                       acc_ref, a_ref, b_ref, dtdp_ref, cand_ref,
                        bq_ref, bp_ref, sem,
                        *, cfg: FlowConfig, tr: int, Ha: int):
     """One program computes a `tr`-row band of the sensor (or shard).
@@ -229,8 +229,9 @@ def _local_flow_kernel(off_ref, tq_hbm, tp_hbm,
     b_b = jnp.zeros((tr, Ha), jnp.float32)
     b_dtdp = jnp.zeros((tr, Ha), jnp.float32)
     b_inl = jnp.zeros((tr, Ha), jnp.int32)
+    b_cand = jnp.zeros((tr, Ha), jnp.int32)
 
-    for (a, b) in cand_offsets:
+    for ci, (a, b) in enumerate(cand_offsets):
         cells = [(a + wx, b + wy) for (wx, wy) in win_cells]
         # --- stats pass over the k x k window ---
         ssum = su = sv = suu = svv = suv = b0 = b1 = b2 = None
@@ -284,6 +285,7 @@ def _local_flow_kernel(off_ref, tq_hbm, tp_hbm,
         b_b = jnp.where(better, b_coef, b_b)
         b_dtdp = jnp.where(better, dtdp, b_dtdp)
         b_inl = jnp.where(better, inl, b_inl)
+        b_cand = jnp.where(better, jnp.int32(ci), b_cand)
 
     local_ok = jnp.isfinite(best_score)
     accept = local_ok & (b_detok > 0) & (b_inl >= cfg.min_evts_on_plane)
@@ -296,11 +298,14 @@ def _local_flow_kernel(off_ref, tq_hbm, tp_hbm,
     a_ref[:] = b_a
     b_ref[:] = b_b
     dtdp_ref[:] = b_dtdp
+    # winning candidate index (scan order): selection diagnostic for the
+    # exact-equivalence tests; one extra band-sized i32 write
+    cand_ref[:] = jnp.where(local_ok, b_cand, -1)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "halo"))
+@functools.partial(jax.jit, static_argnames=("cfg", "halo", "want_ids"))
 def local_flow_pallas(t_pre, t_post, cfg: FlowConfig, *,
-                      halo: int = 0, row_offset=0):
+                      halo: int = 0, row_offset=0, want_ids: bool = False):
     """Pallas local plane-fit flow; same contract as dense_local_flow
     (stamp1-encoded surfaces, see state/surfaces.py).
 
@@ -338,16 +343,17 @@ def local_flow_pallas(t_pre, t_post, cfg: FlowConfig, *,
         jax.ShapeDtypeStruct((rows, Ha), jnp.float32),   # a coef
         jax.ShapeDtypeStruct((rows, Ha), jnp.float32),   # b coef
         jax.ShapeDtypeStruct((rows, Ha), jnp.float32),   # dtdp
+        jax.ShapeDtypeStruct((rows, Ha), jnp.int32),     # candidate id
     ]
     kern = functools.partial(_local_flow_kernel, cfg=cfg, tr=tr, Ha=Ha)
-    acc, a_coef, b_coef, dtdp = pl.pallas_call(
+    acc, a_coef, b_coef, dtdp, cand = pl.pallas_call(
         kern,
         grid=(grid,),
         out_shape=out_shape,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [pl.BlockSpec(memory_space=pl.ANY)] * 2,
         out_specs=[pl.BlockSpec((tr, Ha), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM)] * 4,
+                                memory_space=pltpu.VMEM)] * 5,
         scratch_shapes=[
             pltpu.VMEM((bh, hp), jnp.int32),
             pltpu.VMEM((bh, hp), jnp.int32),
@@ -367,6 +373,8 @@ def local_flow_pallas(t_pre, t_post, cfg: FlowConfig, *,
                   & (raw_vx != 0) & (raw_vy != 0))
     length = jnp.sqrt(raw_vx * raw_vx + raw_vy * raw_vy)
     theta = jnp.arctan2(raw_vy, raw_vx)
+    if want_ids:
+        return raw_vx, raw_vy, gate_valid, length, theta, cand
     return raw_vx, raw_vy, gate_valid, length, theta
 
 

@@ -86,7 +86,7 @@ def wire_pack(vx, vy, tvx_g, tvy_g, aux_f, cfg: FlowConfig):
     lanes; `aux_f` is the aux byte as f32 (128 * valid + scale_id).
     """
     aux = aux_f.astype(jnp.uint8)
-    if cfg.wire == "f16":
+    if cfg.wire != "f32":     # "f16" and "sparse" pack f16 pairs
         main = jnp.stack(
             [_f16_pair(vx, vy), _f16_pair(tvx_g, tvy_g)], axis=0)
     else:
@@ -118,7 +118,7 @@ def wire_maps(gate_map, vx_map, vy_map, tvx_map, tvy_map, scale_map,
 
 
 def wire_n_main_rows(cfg: FlowConfig) -> int:
-    return 2 if cfg.wire == "f16" else 4
+    return 4 if cfg.wire == "f32" else 2
 
 
 def micro_step(state: SurfaceState, batch, cfg: FlowConfig):
@@ -202,6 +202,16 @@ def micro_step(state: SurfaceState, batch, cfg: FlowConfig):
             pk_local = pk_apert = cfg.use_pallas
 
     lanes_out = []
+    # coarse-aperture decoupling (dense path): with aperture_sub_phases A
+    # a DIVISOR of the plane-fit phase count P, pooling runs once per
+    # Q = P/A plane-fit groups; `pending` buffers each local group's
+    # gathered plane-fit lanes until its aperture pass
+    A_coarse = 0
+    if cfg.use_dense and cfg.aperture_sub_phases:
+        a = cfg.aperture_sub_phases
+        if a < P and P % a == 0:
+            A_coarse = a
+    pending = []
     for p in range(P):
         sl = slice(p * mp, (p + 1) * mp)
         xs, ys, ts = x[sl], y[sl], t[sl]
@@ -268,6 +278,51 @@ def micro_step(state: SurfaceState, batch, cfg: FlowConfig):
                 written, jnp.where(gate_map, vx_map, 0.0), flow_vx)
             flow_vy = jnp.where(
                 written, jnp.where(gate_map, vy_map, 0.0), flow_vy)
+
+            if A_coarse:
+                # ---- coarse aperture (VERDICT.md r3 item 1 route):
+                # validity comes from the plane fit alone, so running the
+                # fit at fine granularity (chunk/P) with pooling at the
+                # coarser chunk/A granularity keeps validity agreement at
+                # the fine level for a fraction of uniform fine phasing's
+                # cost (the pooling pass is ~half a phase). Pooling for
+                # groups aQ..(a+1)Q-1 runs after all their scatters/flow
+                # writes - exactly the aperture co-batch visibility of
+                # uniform sub_phases=A - and consumes the finer-resolved
+                # flow surfaces (strictly closer to the event-serial
+                # reference than uniform A). Per-group plane-fit lanes are
+                # buffered until their pooling pass.
+                loc = onehot_gather(
+                    jnp.stack([vx_map, vy_map,
+                               gate_map.astype(jnp.float32)]),
+                    xs, ys, W, H)
+                pending.append((xs, ys, loc))
+                if (p + 1) % (P // A_coarse) == 0:
+                    if pk_apert:
+                        tvx_map, tvy_map, scale_map = (
+                            pallas_kernels.aperture_pallas(
+                                flow_len, flow_vx, flow_vy, cfg))
+                    else:
+                        tvx_map, tvy_map, scale_map = dense_aperture(
+                            flow_len, flow_vx, flow_vy, cfg)
+                    amaps = jnp.stack([tvx_map, tvy_map,
+                                       scale_map.astype(jnp.float32)])
+                    for gxs, gys, gloc in pending:
+                        tf = onehot_gather(amaps, gxs, gys, W, H)
+                        gate = gloc[2] != 0
+                        # same scrub + gating as wire_maps (scale ids are
+                        # small exact ints in f32)
+                        comps = jnp.nan_to_num(jnp.stack([
+                            gloc[0], gloc[1],
+                            jnp.where(gate, tf[0], 0.0),
+                            jnp.where(gate, tf[1], 0.0)]),
+                            nan=0.0, posinf=0.0, neginf=0.0)
+                        aux_f = jnp.where(
+                            gate, 128 + tf[2] // cfg.window_jump, 0.0)
+                        lanes_out.append(
+                            jnp.concatenate([comps, aux_f[None]], axis=0))
+                    pending = []
+                continue
 
             # aperture stage, optionally on finer chronological groups
             # than the plane fit (cfg.aperture_sub_phases): each group
@@ -369,6 +424,70 @@ def scan_chunk2(state: SurfaceState, chunk, bases, cfg: FlowConfig):
         return micro_step(st, xs, cfg)
 
     return jax.lax.scan(body, state, (chunk, bases))
+
+
+def _sparse_pack_outputs(main, aux):
+    """Compact a scan call's f16 wire blocks into the sparse wire tuple.
+
+    The D2H payload is blind to validity in the f16 layout: it ships
+    9 B for *every* event when typically only a few percent of lanes
+    carry flow (VERDICT.md r3 missing-1). Here the aux byte stays dense
+    (1 B/event: valid bit 7, scale id bits 0-5, plus a new `present` bit
+    6 marking lanes whose raw vx/vy pair is nonzero - it is exactly 0.0
+    wherever the plane fit did not accept, vFlow.cpp:390-402 via
+    micro_step's gating) while the two f16 component pairs compact to
+    prefix arrays the host fetches only `count` lanes of:
+
+        aux    u8  [steps, m]  - dense, bit 6 = raw pair present
+        counts i32 [2]         - (# present lanes, # valid lanes)
+        pay_p  i32 [steps*m]   - f16 vx/vy words of present lanes, in
+                                 stream order, as a prefix
+        pay_v  i32 [steps*m]   - f16 true-flow words of valid lanes
+
+    Compaction is two cumsum+scatter passes over the call's lanes -
+    ~15 ns/event of device work that buys up to ~8 B/event of wire on
+    mostly-invalid streams (the e2e lane is transport-bound, bench.py).
+    """
+    steps, _, m = main.shape
+    N = steps * m
+    vx_word = main[:, 0, :].reshape(N)
+    tf_word = main[:, 1, :].reshape(N)
+    auxf = aux.reshape(N)
+    present = vx_word != 0
+    valid = (auxf & jnp.uint8(0x80)) != 0
+    aux_out = (auxf | jnp.where(present, jnp.uint8(0x40),
+                                jnp.uint8(0))).reshape(steps, m)
+    idx_p = jnp.cumsum(present.astype(jnp.int32)) - 1
+    idx_v = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    sent = jnp.int32(N)
+    pay_p = jnp.zeros(N, jnp.int32).at[
+        jnp.where(present, idx_p, sent)].set(vx_word, mode="drop",
+                                             unique_indices=True)
+    pay_v = jnp.zeros(N, jnp.int32).at[
+        jnp.where(valid, idx_v, sent)].set(tf_word, mode="drop",
+                                           unique_indices=True)
+    counts = jnp.stack([idx_p[-1] + 1, idx_v[-1] + 1])
+    return aux_out, counts, pay_p, pay_v
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def scan_chunk_sparse(state: SurfaceState, chunk, cfg: FlowConfig):
+    """scan_chunk + on-device sparse-wire compaction (cfg.wire='sparse')."""
+    def body(st, batch):
+        return micro_step(st, batch, cfg)
+
+    state, (main, aux) = jax.lax.scan(body, state, chunk)
+    return state, _sparse_pack_outputs(main, aux)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def scan_chunk2_sparse(state: SurfaceState, chunk, bases, cfg: FlowConfig):
+    """scan_chunk2 + on-device sparse-wire compaction (cfg.wire='sparse')."""
+    def body(st, xs):
+        return micro_step(st, xs, cfg)
+
+    state, (main, aux) = jax.lax.scan(body, state, (chunk, bases))
+    return state, _sparse_pack_outputs(main, aux)
 
 
 class FlowEngine:
@@ -546,13 +665,31 @@ class FlowEngine:
         pre-gated to 0 and the local R/Theta are masked by the valid bit.
         """
         cfg = self.cfg
-        C = wire_n_main_rows(cfg)
-        main = np.concatenate(
-            [np.asarray(mo).transpose(1, 0, 2).reshape(C, -1)
-             for mo, _ in out_blocks], axis=1)[:, :n]
-        aux = np.concatenate(
-            [np.asarray(ao).reshape(-1) for _, ao in out_blocks])[:n]
-        if cfg.wire == "f16":
+        if cfg.wire == "sparse":
+            # blocks are (aux u8 [steps, m], present-lane f16 vx/vy words,
+            # valid-lane f16 true words) - re-expand the payloads to lane
+            # order (absent lanes are exactly 0 by construction, see
+            # _sparse_pack_outputs) and clear the present bit so the
+            # scale decode below sees the plain aux encoding
+            mains, auxs = [], []
+            for a, pp, pv in out_blocks:
+                af = np.asarray(a).reshape(-1)
+                vxw = np.zeros(af.size, np.int32)
+                vxw[(af & 0x40) != 0] = pp
+                tfw = np.zeros(af.size, np.int32)
+                tfw[(af & 0x80) != 0] = pv
+                mains.append(np.stack([vxw, tfw]))
+                auxs.append(af & np.uint8(0xBF))
+            main = np.concatenate(mains, axis=1)[:, :n]
+            aux = np.concatenate(auxs)[:n]
+        else:
+            C = wire_n_main_rows(cfg)
+            main = np.concatenate(
+                [np.asarray(mo).transpose(1, 0, 2).reshape(C, -1)
+                 for mo, _ in out_blocks], axis=1)[:, :n]
+            aux = np.concatenate(
+                [np.asarray(ao).reshape(-1) for _, ao in out_blocks])[:n]
+        if cfg.wire != "f32":
             p0 = main[0].view(np.uint32)
             p1 = main[1].view(np.uint32)
             vx = (p0 & 0xFFFF).astype(np.uint16).view(np.float16).astype(np.float32)
@@ -618,15 +755,34 @@ class FlowEngine:
             steps_per_call = max(1, min(
                 self.cfg.steps_per_scan,
                 -(-self._PIPELINE_EVENTS // self.cfg.chunk_size)))
+        sparse = self.cfg.wire == "sparse"
+        base_dispatch = type(self)._dispatch is FlowEngine._dispatch
+        if sparse and not base_dispatch:
+            raise ValueError(
+                "wire='sparse' requires the base (unsharded) engine "
+                "dispatch; sharded engines ship the dense f16/f32 wire")
         # the delta-coded 4 B/event upload applies only to engines running
         # the base (unsharded) dispatch: sharded subclasses partition the
         # chunk array and would need matching specs for the base vector
         bases = None
-        if self._compact_ok and type(self)._dispatch is FlowEngine._dispatch:
+        if self._compact_ok and base_dispatch:
             packed, bases, n = self.pack2(ev, steps_per_call=steps_per_call)
         else:
             packed, n = self.pack(ev, steps_per_call=steps_per_call,
                                   compact=self._compact_ok)
+
+        def dispatch(c):
+            if bases is not None:
+                fn = scan_chunk2_sparse if sparse else scan_chunk2
+                self.state, out = fn(self.state, jnp.asarray(packed[c]),
+                                     jnp.asarray(bases[c]), self.cfg)
+            elif sparse:
+                self.state, out = scan_chunk_sparse(
+                    self.state, jnp.asarray(packed[c]), self.cfg)
+            else:
+                self.state, out = self._dispatch(jnp.asarray(packed[c]))
+            return out
+
         if self._FETCH_THREADS <= 0:
             # deterministic single-thread mode (multi-process engines:
             # _fetch may issue collectives, which every process must
@@ -634,31 +790,53 @@ class FlowEngine:
             # - a fetch worker thread interleaves them differently per
             # process and can deadlock, ADVICE.md r3). Dispatch the full
             # chunk sequence first (async), then fetch in order.
-            outs = []
-            for c in range(packed.shape[0]):
-                if bases is not None:
-                    self.state, out = scan_chunk2(
-                        self.state, jnp.asarray(packed[c]),
-                        jnp.asarray(bases[c]), self.cfg)
-                else:
-                    self.state, out = self._dispatch(jnp.asarray(packed[c]))
-                outs.append(out)
-            blocks = [tuple(self._fetch(o) for o in out) for out in outs]
+            outs = [dispatch(c) for c in range(packed.shape[0])]
+            if sparse:
+                blocks = [self._fetch_sparse(out) for out in outs]
+            else:
+                blocks = [tuple(self._fetch(o) for o in out) for out in outs]
             return self._unpack_outputs(blocks, ev, n)
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=self._FETCH_THREADS) as pool:
-            futs = []
-            for c in range(packed.shape[0]):
-                if bases is not None:
-                    self.state, out = scan_chunk2(
-                        self.state, jnp.asarray(packed[c]),
-                        jnp.asarray(bases[c]), self.cfg)
-                else:
-                    self.state, out = self._dispatch(jnp.asarray(packed[c]))
-                futs.append(tuple(pool.submit(self._fetch, o) for o in out))
-            blocks = [tuple(f.result() for f in fs) for fs in futs]
+            if sparse:
+                # one future per call: the payload slice fetches depend on
+                # that call's counts, so they stay on one worker
+                futs = [pool.submit(self._fetch_sparse, dispatch(c))
+                        for c in range(packed.shape[0])]
+                blocks = [f.result() for f in futs]
+            else:
+                futs = [tuple(pool.submit(self._fetch, o)
+                              for o in dispatch(c))
+                        for c in range(packed.shape[0])]
+                blocks = [tuple(f.result() for f in fs) for fs in futs]
         return self._unpack_outputs(blocks, ev, n)
+
+    # prefix-slice fetches compile one tiny device slice per distinct
+    # length; bucketing lengths to powers of two keeps the compile set
+    # small (~log2(N) entries, cached) at <= 2x overfetch
+    _SPARSE_BUCKET_MIN = 4096
+
+    def _fetch_sparse(self, out):
+        """Fetch one call's sparse wire block: (aux u8, pay_p, pay_v).
+
+        Fetches the dense aux bytes and the two counts, then transfers
+        only (a bucket-rounded prefix of) each payload's `count` lanes.
+        """
+        aux, counts, pay_p, pay_v = out
+        cnt = np.asarray(counts)
+        a = np.asarray(aux)
+        N = pay_p.shape[0]
+
+        def prefix(pay, k):
+            if k <= 0:
+                return np.zeros(0, np.int32)
+            b = self._SPARSE_BUCKET_MIN
+            while b < k:
+                b *= 2
+            return np.asarray(pay[:min(b, N)])[:k]
+
+        return a, prefix(pay_p, int(cnt[0])), prefix(pay_v, int(cnt[1]))
 
     def _fetch(self, o):
         """Device->host fetch of one output array (subclass hook)."""

@@ -274,3 +274,66 @@ def test_aperture_sub_phases_semantics(bar_events):
 
     with pytest.raises(ValueError):
         FlowConfig(chunk_size=256, sub_phases=4, aperture_sub_phases=6)
+    with pytest.raises(ValueError):
+        FlowConfig(chunk_size=256, sub_phases=4, aperture_sub_phases=3)
+
+
+def test_coarse_aperture_semantics(bar_events):
+    """Coarse aperture phasing (aperture_sub_phases a DIVISOR of
+    sub_phases): the plane-fit lanes stay bit-identical to the uniform
+    fine-phased run (validity comes from the plane fit alone), and the
+    pooled columns match an exact oracle - one dense_aperture pass over
+    the flow surfaces left by ALL the aperture group's plane-fit groups
+    (flow-surface evolution is aperture-independent, so a uniform run's
+    final state provides those surfaces)."""
+    import jax.numpy as jnp
+
+    from farms_tpu.events.io import EventBatch
+    from farms_tpu.ops.dense_flow import dense_aperture, onehot_gather
+    from farms_tpu.pipeline.engine import micro_step
+    from farms_tpu.state.surfaces import init_state
+
+    W = H = 64
+    m = 256
+    cfg_u = FlowConfig(width=W, height=H, chunk_size=m, sub_phases=2)
+    cfg_c = FlowConfig(width=W, height=H, chunk_size=m, sub_phases=2,
+                       aperture_sub_phases=1)
+
+    eng = FlowEngine(cfg_u)
+    packed, _ = eng.pack(bar_events[:m], steps_per_call=1)
+    batch = jnp.asarray(packed[0, 0])
+
+    st_u, out_u = micro_step(init_state(cfg_u), batch, cfg_u)
+    st_c, out_c = micro_step(init_state(cfg_c), batch, cfg_c)
+
+    # state evolution is identical (aperture never mutates state)
+    np.testing.assert_array_equal(np.asarray(st_u.t_surf),
+                                  np.asarray(st_c.t_surf))
+    np.testing.assert_array_equal(np.asarray(st_u.flow_len),
+                                  np.asarray(st_c.flow_len))
+
+    # oracle: pooling once over the final flow surfaces, gathered for
+    # every lane; local pairs from the uniform run's wire main row 0
+    tvx, tvy, scale = dense_aperture(st_u.flow_len, st_u.flow_vx,
+                                     st_u.flow_vy, cfg_u)
+    xs, ys = batch[0], batch[1]
+    tf = onehot_gather(jnp.stack([tvx, tvy, scale.astype(jnp.float32)]),
+                       xs, ys, cfg_u.array_width, cfg_u.array_height)
+
+    aux_c = np.asarray(out_c[1]).reshape(-1)
+    aux_u = np.asarray(out_u[1]).reshape(-1)
+    valid_c = (aux_c & 0x80) != 0
+    # validity bit-identical to the uniform fine-phased run
+    np.testing.assert_array_equal(valid_c, (aux_u & 0x80) != 0)
+    # local vx/vy pair (f32 wire main rows 0-1) identical to uniform
+    main_c = np.asarray(out_c[0])
+    main_u = np.asarray(out_u[0])
+    np.testing.assert_array_equal(main_c[:2], main_u[:2])
+    # pooled columns == the one-pass oracle (gated, scrubbed)
+    want_tvx = np.where(valid_c, np.asarray(tf[0]), 0.0).astype(np.float32)
+    want_tvy = np.where(valid_c, np.asarray(tf[1]), 0.0).astype(np.float32)
+    np.testing.assert_array_equal(main_c[2].view(np.float32), want_tvx)
+    np.testing.assert_array_equal(main_c[3].view(np.float32), want_tvy)
+    want_scale = np.where(valid_c,
+                          np.asarray(tf[2]) // cfg_u.window_jump, 0)
+    np.testing.assert_array_equal(aux_c & 0x7F, want_scale)

@@ -60,6 +60,50 @@ def test_wire_f16_matches_f32_within_quantization():
                                atol=2e-3)
 
 
+def test_wire_sparse_matches_f16_exactly():
+    """The sparse wire is a pure re-encoding of the f16 wire: dense aux
+    byte + compacted f16 payloads for present/valid lanes only. The
+    decoded 11-column output must be bit-identical to wire='f16'."""
+    a = _run("f16")
+    b = _run("sparse")
+    for col in ("x", "y", "t", "pol", "r_true", "theta_true", "vx", "vy",
+                "r_local", "theta_local", "scale"):
+        np.testing.assert_array_equal(getattr(a, col), getattr(b, col),
+                                      err_msg=col)
+
+
+def test_wire_sparse_mostly_invalid_stream():
+    """A stream with almost no valid flow exercises the tiny-count /
+    empty-payload paths (bucketed prefix fetch, zero counts)."""
+    from farms_tpu.events.io import synthetic_random_events
+
+    cfg = FlowConfig(width=128, height=128, chunk_size=512,
+                     steps_per_scan=2, wire="sparse")
+    ev = synthetic_random_events(2048, width=128, height=128,
+                                 rate_hz=1e4, seed=7)
+    out = FlowEngine(cfg).process(ev)
+    cfg16 = FlowConfig(width=128, height=128, chunk_size=512,
+                       steps_per_scan=2, wire="f16")
+    want = FlowEngine(cfg16).process(ev)
+    np.testing.assert_array_equal(want.vx, out.vx)
+    np.testing.assert_array_equal(want.r_true, out.r_true)
+    np.testing.assert_array_equal(want.scale, out.scale)
+
+
+def test_wire_sparse_rejects_sharded_engines():
+    import pytest
+
+    from farms_tpu.parallel.dp import ShardedFlowEngine
+    from farms_tpu.events.io import synthetic_translating_bar
+
+    cfg = FlowConfig(width=64, height=64, chunk_size=64, wire="sparse")
+    ev = synthetic_translating_bar(width=64, height=64, bar_len=16,
+                                   duration_us=10_000)[:128]
+    eng = ShardedFlowEngine(cfg, num_devices=2)
+    with pytest.raises(ValueError, match="sparse"):
+        eng.process(ev)
+
+
 def test_wire_f16_nan_and_overflow_survive():
     """NaN propagates; out-of-range components saturate, not inf."""
     import jax.numpy as jnp
