@@ -68,9 +68,11 @@ def main():
     wire = os.environ.get("FARMS_BENCH_WIRE", "f16")
     phases = int(os.environ.get("FARMS_BENCH_PHASES", 2))
     aphases = int(os.environ.get("FARMS_BENCH_APHASES", 0))
+    backend = os.environ.get("FARMS_BENCH_BACKEND", "auto")
+    use_pallas = {"auto": None, "pallas": True, "dense": False}[backend]
     cfg = FlowConfig(width=320, height=320, chunk_size=m, use_dense=True,
                      wire=wire, sub_phases=phases,
-                     aperture_sub_phases=aphases)
+                     aperture_sub_phases=aphases, use_pallas=use_pallas)
 
     ev = synthetic_random_events(n, width=320, height=320, rate_hz=5e6,
                                  seed=0)
@@ -156,8 +158,8 @@ def main():
     up_bytes = 8
     if e2e_calls:
         probe = FlowEngine(cfg)
-        _, bases, _ = probe.pack2(ev[: 4 * m])
-        if bases is not None:
+        _, aux2, _ = probe.pack2(ev[: 4 * m])
+        if aux2 is not None:
             up_bytes = 4
     if e2e_wire == "sparse":
         # dense aux byte + f16 pairs only for present/valid lanes

@@ -214,7 +214,7 @@ def dense_local_flow(t_pre, t_post, cfg: FlowConfig, *,
 
 
 def dense_aperture(flow_len, flow_vx, flow_vy, cfg: FlowConfig, *,
-                   halo: int = 0, want_ids: bool = False):
+                   halo: int = 0, want_ids: bool = False, integ=None):
     """Multi-scale aperture pooling for every pixel via shifted integrals.
 
     Box sums come from 4 clamped static shifts of the padded integral image
@@ -232,13 +232,23 @@ def dense_aperture(flow_len, flow_vx, flow_vy, cfg: FlowConfig, *,
     W, H = cfg.width, cfg.height      # SEMANTIC sensor bounds (clamping)
     if halo and halo < cfg.max_window + 1:
         raise ValueError(f"halo {halo} < max_window+1 {cfg.max_window + 1}")
-    rows = flow_len.shape[0] - 2 * halo
-    Ha = flow_len.shape[1]             # array height (>= H when padded)
-    gate = (flow_len > 0).astype(jnp.float32)
-    fields = jnp.stack(
-        [gate, flow_len * gate, flow_vx * gate, flow_vy * gate], 0)
-    integ = jnp.pad(jnp.cumsum(jnp.cumsum(fields, axis=1), axis=2),
-                    ((0, 0), (1, 0), (1, 0)))       # [4, rows+2*halo+1, H+1]
+    if integ is not None:
+        # pre-assembled integral band (partial-pooling halo mode,
+        # parallel/halo.py assemble_integral_band): [4, rows+2*halo+1,
+        # Ha+1] covering `halo` exchanged integral rows each side of the
+        # core; flow_* are then CORE-ONLY [rows, Ha] (used for the
+        # center fallback). Box sums are corner differences, so any
+        # per-column constant offset in the band cancels.
+        rows = integ.shape[1] - 2 * halo - 1
+        Ha = flow_len.shape[1]
+    else:
+        rows = flow_len.shape[0] - 2 * halo
+        Ha = flow_len.shape[1]         # array height (>= H when padded)
+        gate = (flow_len > 0).astype(jnp.float32)
+        fields = jnp.stack(
+            [gate, flow_len * gate, flow_vx * gate, flow_vy * gate], 0)
+        integ = jnp.pad(jnp.cumsum(jnp.cumsum(fields, axis=1), axis=2),
+                        ((0, 0), (1, 0), (1, 0)))   # [4, rows+2*halo+1, H+1]
 
     y_hi = (W if cfg.replicate_y_clamp_quirk else H) - 1
 
@@ -302,9 +312,11 @@ def dense_aperture(flow_len, flow_vx, flow_vy, cfg: FlowConfig, *,
         scale = jnp.where(hit, s, scale)
 
     pooled = max_val > 0
-    # fallback: center flow, scale 0 (vFlow.cpp:1086-1094)
-    core_vx = flow_vx[halo:halo + rows, :] if halo else flow_vx
-    core_vy = flow_vy[halo:halo + rows, :] if halo else flow_vy
+    # fallback: center flow, scale 0 (vFlow.cpp:1086-1094); flow arrays
+    # are already core-only when a pre-assembled integral band was given
+    core = halo and flow_vx.shape[0] == rows + 2 * halo
+    core_vx = flow_vx[halo:halo + rows, :] if core else flow_vx
+    core_vy = flow_vy[halo:halo + rows, :] if core else flow_vy
     tvx = jnp.where(pooled, tvx, core_vx)
     tvy = jnp.where(pooled, tvy, core_vy)
     scale = jnp.where(pooled, scale, 0)

@@ -77,20 +77,41 @@ def _tile_rows(cfg: FlowConfig) -> int:
     return 16 if cfg.height <= 512 else 8
 
 
+def _local_tile_rows(cfg: FlowConfig) -> int:
+    """Largest band height whose local-kernel VMEM estimate fits."""
+    for tr in (16, 8):
+        if _local_vmem_bytes(cfg, tr) <= _VMEM_BUDGET:
+            return tr
+    return 8
+
+
+def _aperture_tile_rows(cfg: FlowConfig) -> int:
+    for tr in (16, 8):
+        if _aperture_vmem_bytes(cfg, tr) <= _VMEM_BUDGET:
+            return tr
+    return 8
+
+
 def _local_vmem_bytes(cfg: FlowConfig, tr: int) -> int:
     """Per-program VMEM estimate for the local-flow kernel.
 
     Scratch: two int32 (band+halo, H+2R) surface slabs. Temporaries:
     Mosaic stack-allocates materialized values with partial reuse;
     measured ~110 MB for a whole-sensor 320x320/k=3 block, i.e. ~29
-    live (rows, H) f32 arrays per k*k window cell. Outputs: 4 blocked
-    (tr, H) buffers, double-buffered by the pipeline.
+    live (rows, H) f32 arrays per k*k window cell. The k=3 cached
+    variant (_local_flow_kernel_cached) instead holds 10 quantity maps
+    per support offset plus the 81 candidate box sums and fold/inlier
+    live values (~420 band maps). Outputs: 5 blocked (tr, H) buffers,
+    double-buffered by the pipeline.
     """
     R = cfg.support_radius
     bh = tr + _rup8(2 * R)
     scratch = 2 * bh * (cfg.height + 2 * R) * 4
-    temps = 29 * cfg.filter_size ** 2 * tr * cfg.height * 4
-    outs = 2 * 4 * tr * cfg.height * 4
+    if cfg.filter_size == 3:
+        temps = (10 * (2 * R + 1) ** 2 + 170) * tr * cfg.height * 4
+    else:
+        temps = 29 * cfg.filter_size ** 2 * tr * cfg.height * 4
+    outs = 2 * 5 * tr * cfg.height * 4
     return scratch + temps + outs
 
 
@@ -120,11 +141,11 @@ def _unpadded(cfg: FlowConfig) -> bool:
 
 
 def local_flow_vmem_ok(cfg: FlowConfig) -> bool:
-    return _local_vmem_bytes(cfg, _tile_rows(cfg)) <= _VMEM_BUDGET
+    return _local_vmem_bytes(cfg, _local_tile_rows(cfg)) <= _VMEM_BUDGET
 
 
 def aperture_vmem_ok(cfg: FlowConfig) -> bool:
-    return _aperture_vmem_bytes(cfg, _tile_rows(cfg)) <= _VMEM_BUDGET
+    return _aperture_vmem_bytes(cfg, _aperture_tile_rows(cfg)) <= _VMEM_BUDGET
 
 
 def local_flow_supported(cfg: FlowConfig) -> bool:
@@ -321,7 +342,7 @@ def local_flow_pallas(t_pre, t_post, cfg: FlowConfig, *,
         raise ValueError(f"halo {halo} < support_radius {R}")
     rows = t_post.shape[0] - 2 * halo    # core rows this call computes
     Ha = t_post.shape[1]                 # array lane extent (>= height)
-    tr = _tile_rows(cfg)
+    tr = _local_tile_rows(cfg)
     grid = pl.cdiv(rows, tr)
     bh = tr + _rup8(2 * R)
     # bottom padding covers the stencil halo, the ragged last band, and
@@ -345,7 +366,9 @@ def local_flow_pallas(t_pre, t_post, cfg: FlowConfig, *,
         jax.ShapeDtypeStruct((rows, Ha), jnp.float32),   # dtdp
         jax.ShapeDtypeStruct((rows, Ha), jnp.int32),     # candidate id
     ]
-    kern = functools.partial(_local_flow_kernel, cfg=cfg, tr=tr, Ha=Ha)
+    kern_fn = (_local_flow_kernel_cached if cfg.filter_size == 3
+               else _local_flow_kernel)
+    kern = functools.partial(kern_fn, cfg=cfg, tr=tr, Ha=Ha)
     acc, a_coef, b_coef, dtdp, cand = pl.pallas_call(
         kern,
         grid=(grid,),
@@ -376,6 +399,178 @@ def local_flow_pallas(t_pre, t_post, cfg: FlowConfig, *,
     if want_ids:
         return raw_vx, raw_vy, gate_valid, length, theta, cand
     return raw_vx, raw_vy, gate_valid, length, theta
+
+
+def _local_flow_kernel_cached(off_ref, tq_hbm, tp_hbm,
+                              acc_ref, a_ref, b_ref, dtdp_ref, cand_ref,
+                              bq_ref, bp_ref, sem,
+                              *, cfg: FlowConfig, tr: int, Ha: int):
+    """k=3 variant of _local_flow_kernel with cached per-offset maps.
+
+    The general kernel recomputes each support cell's quantities at
+    every visit (81 stats visits + 81 inlier visits across 25 offsets
+    for k=3) - ~210 us per 320x320 pass, the dominant per-sub-phase cost
+    (scripts/_prof_phases.py). This variant:
+
+    * computes the 10 per-offset quantity maps (d, eli, u, v, yv and the
+      four products the normal equations need) ONCE per offset and keeps
+      them in VMEM (10 x 25 band maps, ~3 MB at tr=8);
+    * shares column sums across candidates: the 9 candidate windows are
+      box sums at stride f of the same quantity maps, so each quantity
+      needs 15 column sums + 9 short row sums instead of 81 cell adds;
+    * runs the inlier count once with the WINNING candidate's
+      coefficients (hit maps over the 25 offsets + the same box-sum
+      trick + a select by candidate id) instead of once per candidate -
+      the per-candidate fold keeps only the winner's count anyway.
+
+    Summation tree association differs from the dense path's left fold,
+    so scores can drift by an fp ulp - covered by the equivalence tests'
+    near-tie mask, exactly like FMA contraction drift. Selection order,
+    penalties, gates and the atan2 tail are identical.
+    """
+    W, H = cfg.width, cfg.height
+    f = cfg.f_rad
+    R = cfg.support_radius
+    k = cfg.filter_size
+    n = jnp.float32(k * k)
+    row0 = pl.program_id(0) * tr
+    bh = tr + _rup8(2 * R)
+
+    cpq = pltpu.make_async_copy(tq_hbm.at[pl.ds(row0, bh), :], bq_ref,
+                                sem.at[0])
+    cpp = pltpu.make_async_copy(tp_hbm.at[pl.ds(row0, bh), :], bp_ref,
+                                sem.at[1])
+    cpq.start()
+    cpp.start()
+    cpq.wait()
+    cpp.wait()
+    band_q = bq_ref[:]
+    band_p = bp_ref[:]
+
+    t_c = band_p[R:R + tr, R:R + Ha]
+    px = (jax.lax.broadcasted_iota(jnp.int32, (tr, Ha), 0) + row0
+          + off_ref[0])
+    py = jax.lax.broadcasted_iota(jnp.int32, (tr, Ha), 1)
+    pxf = px.astype(jnp.float32)
+    pyf = py.astype(jnp.float32)
+    neg_ts = jnp.float32(-cfg.ts_to_sec)
+
+    # ---- per-offset quantity maps, computed once (see base kernel's
+    # cell() for the semantics of every line) ----
+    offs = range(-R, R + 1)
+    Q = {}
+    for ox in offs:
+        for oy in offs:
+            if ox == 0 and oy == 0:
+                zero = jnp.zeros((tr, Ha), jnp.float32)
+                d, eli = zero, (t_c != 0) & (t_c != 1)
+                u, v, yv = zero, zero, zero
+            else:
+                rs = slice(R + ox, R + ox + tr)
+                cs = slice(R + oy, R + oy + Ha)
+                tp = band_p[rs, cs]
+                tq = band_q[rs, cs]
+                causal = (t_c - tp) >= 0
+                vis = jnp.where(causal, tp, tq)
+                tch = vis != 0
+                vis = jnp.where(vis == 0, 1, vis)
+                d = (t_c - vis).astype(jnp.float32)
+                d = jnp.where(d < 0, d + _WRAP, d)
+                eli = (vis != 1) & (d < _HALF_WRAP)
+                u = jnp.where(tch, jnp.float32(ox), -pxf)
+                v = jnp.where(tch, jnp.float32(oy), -pyf)
+                yv = d * neg_ts
+            Q[(ox, oy)] = (d, eli, u, v, yv,
+                           u * u, v * v, u * v, u * yv, v * yv)
+
+    NQ = 10   # d, (eli unused in sums), u, v, yv, uu, vv, uv, uyv, vyv
+    SUM_IDX = (0, 2, 3, 4, 5, 6, 7, 8, 9)   # all but eli
+
+    cand_offsets = [(a, b) for a in (-f, 0, f) for b in (-f, 0, f)]
+    wr = range(-f, f + 1)
+
+    inf = jnp.float32(jnp.inf)
+    best_score = jnp.full((tr, Ha), inf, jnp.float32)
+    b_detok = jnp.zeros((tr, Ha), jnp.int32)
+    b_a = jnp.zeros((tr, Ha), jnp.float32)
+    b_b = jnp.zeros((tr, Ha), jnp.float32)
+    b_dtdp = jnp.zeros((tr, Ha), jnp.float32)
+    b_cand = jnp.zeros((tr, Ha), jnp.int32)
+
+    def box_sums(qidx):
+        """All 9 candidate-window sums of quantity channels `qidx`.
+
+        Returns {cand_id: [sums in qidx order]} via shared column sums:
+        colsum(ox, b) = sum over the window's wy of Q[(ox, b+wy)]."""
+        out = {}
+        for b in (-f, 0, f):
+            col = {}
+            for ox in offs:
+                acc = [Q[(ox, b - f)][qi] for qi in qidx]
+                for wy in range(-f + 1, f + 1):
+                    cell = Q[(ox, b + wy)]
+                    acc = [s + cell[qi] for s, qi in zip(acc, qidx)]
+                col[ox] = acc
+            for a in (-f, 0, f):
+                sums = list(col[a - f])
+                for wx in range(-f + 1, f + 1):
+                    sums = [s + q for s, q in zip(sums, col[a + wx])]
+                out[cand_offsets.index((a, b))] = sums
+        return out
+
+    sums9 = box_sums(SUM_IDX)
+    for ci, (a, b) in enumerate(cand_offsets):
+        ssum, su, sv, syv, suu, svv, suv, b0, b1 = sums9[ci]
+        # (b2 is the yv sum; keep the dense path's naming)
+        b2 = syv
+        score = ssum / n
+        vm = ((px + (a - f) >= 0) & (px + (a + f) <= W - 1)
+              & (py + (b - f) >= 0) & (py + (b + f) <= H - 1))
+        det = (suu * (svv * n - sv * sv)
+               - suv * (suv * n - sv * su)
+               + su * (suv * sv - svv * su))
+        det_ok = det >= jnp.float32(cfg.det_threshold)
+        safe = jnp.where(det_ok, det, 1.0)
+        adj00 = svv * n - sv * sv
+        adj01 = su * sv - suv * n
+        adj02 = suv * sv - svv * su
+        adj11 = suu * n - su * su
+        adj12 = su * suv - suu * sv
+        a_coef = (adj00 * b0 + adj01 * b1 + adj02 * b2) / safe
+        b_coef = (adj01 * b0 + adj11 * b1 + adj12 * b2) / safe
+        dtdp = jnp.sqrt(a_coef * a_coef + b_coef * b_coef)
+        scorem = jnp.where(vm, score, inf)
+        better = scorem < best_score
+        best_score = jnp.where(better, scorem, best_score)
+        b_detok = jnp.where(better, det_ok.astype(jnp.int32), b_detok)
+        b_a = jnp.where(better, a_coef, b_a)
+        b_b = jnp.where(better, b_coef, b_b)
+        b_dtdp = jnp.where(better, dtdp, b_dtdp)
+        b_cand = jnp.where(better, jnp.int32(ci), b_cand)
+
+    # ---- single inlier pass with the winner's plane ----
+    half = b_dtdp * 0.5
+    for ox in offs:
+        for oy in offs:
+            d, eli, u, v, yv = Q[(ox, oy)][:5]
+            hit = ((jnp.abs(b_a * u + b_b * v - yv) < half)
+                   & eli).astype(jnp.float32)
+            Q[(ox, oy)] = (hit,)
+    hits9 = box_sums((0,))
+    b_inl = jnp.zeros((tr, Ha), jnp.float32)
+    for ci in range(len(cand_offsets)):
+        b_inl = jnp.where(b_cand == ci, hits9[ci][0], b_inl)
+
+    local_ok = jnp.isfinite(best_score)
+    # 0/1 sums of <= k*k terms are exact in f32
+    accept = (local_ok & (b_detok > 0)
+              & (b_inl >= jnp.float32(cfg.min_evts_on_plane)))
+
+    acc_ref[:] = accept.astype(jnp.int32)
+    a_ref[:] = b_a
+    b_ref[:] = b_b
+    dtdp_ref[:] = b_dtdp
+    cand_ref[:] = jnp.where(local_ok, b_cand, -1)
 
 
 # --------------------------------------------------------------------------
@@ -437,7 +632,7 @@ def _scales_kernel(pi_hbm, vx_ref, vy_ref, tvx_ref, tvy_ref, scale_ref,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "halo"))
 def aperture_pallas(flow_len, flow_vx, flow_vy, cfg: FlowConfig, *,
-                    halo: int = 0):
+                    halo: int = 0, integ=None):
     """Pallas multi-scale aperture pooling; same contract as dense_aperture.
 
     XLA builds the clamp-padded integral image PI (f32 cumsum, bitwise
@@ -458,22 +653,30 @@ def aperture_pallas(flow_len, flow_vx, flow_vy, cfg: FlowConfig, *,
     W, H, M = cfg.width, cfg.height, cfg.max_window
     if halo and halo < M:
         raise ValueError(f"halo {halo} < max_window {M}")
-    rows = flow_len.shape[0] - 2 * halo
     Ha = flow_len.shape[1]
+    if integ is not None:
+        # pre-assembled integral band (partial-pooling halo mode,
+        # parallel/halo.py): [4, rows+2*halo+1, Ha+1]; flow_* are then
+        # core-only (used for the center fallback). Any per-column
+        # constant offset cancels in the corner differences.
+        rows = integ.shape[1] - 2 * halo - 1
+    else:
+        rows = flow_len.shape[0] - 2 * halo
 
-    # PI[f, i, j] = integ[f, clip(i - M, 0, W), clip(j - M, 0, y_clip)]:
-    # the prefix-sum lookup every corner read of every scale needs,
-    # clamping included (x clamp realized by zero halo fields in halo mode)
-    gate = (flow_len > 0).astype(jnp.float32)
-    fields = jnp.stack(
-        [gate, flow_len * gate, flow_vx * gate, flow_vy * gate], 0)
-    integ = jnp.pad(jnp.cumsum(jnp.cumsum(fields, axis=1), axis=2),
-                    ((0, 0), (1, 0), (1, 0)))        # [4, rows+2*halo+1, Ha+1]
+        # PI[f, i, j] = integ[f, clip(i - M, 0, W), clip(j - M, 0, y_clip)]:
+        # the prefix-sum lookup every corner read of every scale needs,
+        # clamping included (x clamp realized by zero halo fields in halo
+        # mode)
+        gate = (flow_len > 0).astype(jnp.float32)
+        fields = jnp.stack(
+            [gate, flow_len * gate, flow_vx * gate, flow_vy * gate], 0)
+        integ = jnp.pad(jnp.cumsum(jnp.cumsum(fields, axis=1), axis=2),
+                        ((0, 0), (1, 0), (1, 0)))    # [4, rows+2*halo+1, Ha+1]
     y_hi = (W if cfg.replicate_y_clamp_quirk else H) - 1
     y_clip = min(y_hi + 1, Ha)
     integ = integ[:, :, :y_clip + 1]
 
-    tr = _tile_rows(cfg)
+    tr = _aperture_tile_rows(cfg)
     grid = pl.cdiv(rows, tr)
     bh = tr + _rup8(2 * M + 2)
     ypp = _rup128(Ha + 2 * M + 1)
@@ -485,9 +688,10 @@ def aperture_pallas(flow_len, flow_vx, flow_vy, cfg: FlowConfig, *,
         x_extra = grid * tr + bh - pi.shape[1]
         pi = jnp.pad(pi, ((0, 0), (0, max(0, x_extra)),
                           (M, ypp - M - (y_clip + 1))), mode="edge")
-        core = slice(halo, halo + rows)
-        flow_vx = flow_vx[core]
-        flow_vy = flow_vy[core]
+        if flow_vx.shape[0] == rows + 2 * halo:   # core-only when a
+            core = slice(halo, halo + rows)        # band was supplied
+            flow_vx = flow_vx[core]
+            flow_vy = flow_vy[core]
     else:
         XP = rows + 2 * M + 1
         # the (aligned, possibly ragged) last slab reads PI rows past XP-1

@@ -75,6 +75,74 @@ def exchange_halo(arr, h: int, n: int, axis_name: str = "tx"):
     return jnp.concatenate(above + [arr] + below, axis=0)
 
 
+def assemble_integral_band(flow_len, flow_vx, flow_vy, cfg: FlowConfig,
+                           n: int, A: int, axis_name: str = "tx"):
+    """Cross-tile aperture pooling partials (VERDICT.md r3 item 3).
+
+    Exchanging raw flow-surface bands makes every shard REBUILD the
+    integral image over `2A` replicated halo rows - a by-construction
+    replication ceiling well under the scaling target. Box sums are
+    linear, so shards can instead exchange *integral partials*:
+
+    1. each shard integrates ONLY its own rows (local 2-D prefix L);
+    2. the per-shard total row (column sums, a [4, Ha+1] vector) is
+       all-gathered - ~n*Ha*16 bytes, negligible - giving every shard
+       the absolute offset C_k of any shard's local integral, plus the
+       global total T for the bottom clamp;
+    3. the halo bands carry L rows (one ppermute per ring hop, exactly
+       like exchange_halo), adjusted to global values by adding the
+       source shard's offset; rows past the global top are 0, rows past
+       the bottom replicate T (the reference's x clamp).
+
+    The result is a [4, rows + 2A + 1, Ha+1] global-integral band the
+    pooling stage consumes directly (dense_aperture / aperture_pallas
+    `integ=`): no integral work is ever repeated across shards, so the
+    aperture stage's parallel efficiency ceiling is ~1.
+    """
+    rows = flow_len.shape[0]
+    gate = (flow_len > 0).astype(jnp.float32)
+    fields = jnp.stack(
+        [gate, flow_len * gate, flow_vx * gate, flow_vy * gate], 0)
+    L = jnp.pad(jnp.cumsum(jnp.cumsum(fields, axis=1), axis=2),
+                ((0, 0), (1, 0), (1, 0)))            # [4, rows+1, Ha+1]
+    if n == 1:
+        top = jnp.zeros((4, A, L.shape[2]), L.dtype)
+        bot = jnp.broadcast_to(L[:, -1:, :], (4, A, L.shape[2]))
+        return jnp.concatenate([top, L, bot], axis=1)
+
+    cs = L[:, -1, :]                                 # [4, Ha+1]
+    allcs = jax.lax.all_gather(cs, axis_name)        # [n, 4, Ha+1]
+    idx = jax.lax.axis_index(axis_name)
+    ar = jnp.arange(n)[:, None, None]
+
+    def offset(src):                                 # C_src [4, Ha+1]
+        return jnp.sum(jnp.where(ar < src, allcs, 0.0), axis=0)
+
+    total = jnp.sum(allcs, axis=0)                   # T = I[W] row
+    own = offset(idx)[:, None, :] + L                # gi in [row0, row0+rows]
+
+    hops = -(-A // rows)
+    above, below = [], []
+    body = L[:, :rows, :]                            # gi [row0, row0+rows)
+    tail = L[:, 1:rows + 1, :]                       # gi (row0, row0+rows]
+    for j in range(1, hops + 1):
+        take = min(rows, A - (j - 1) * rows)
+        fwd = [(i, (i + j) % n) for i in range(n)]
+        bwd = [(i, (i - j) % n) for i in range(n)]
+        from_prev = jax.lax.ppermute(body[:, rows - take:, :],
+                                     axis_name, fwd)
+        from_next = jax.lax.ppermute(tail[:, :take, :], axis_name, bwd)
+        # adjust to global values with the SOURCE shard's offset; fill
+        # rows past the sensor edges (top: zeros, bottom: T)
+        from_prev = from_prev + offset(idx - j)[:, None, :]
+        from_next = from_next + offset(idx + j)[:, None, :]
+        from_prev = jnp.where(idx < j, 0.0, from_prev)
+        from_next = jnp.where(idx >= n - j, total[:, None, :], from_next)
+        above.insert(0, from_prev)
+        below.append(from_next)
+    return jnp.concatenate(above + [own] + below, axis=1)
+
+
 def halo_micro_step(state: SurfaceState, batch, cfg: FlowConfig, n: int):
     """One micro-step executed per shard under shard_map.
 
@@ -111,6 +179,9 @@ def halo_micro_step(state: SurfaceState, batch, cfg: FlowConfig, n: int):
     R = cfg.support_radius
     A = cfg.max_window + 1
     lanes_out = []
+    prev_post_ext = None   # phase p's pre-scatter surface == phase p-1's
+    # post-scatter surface, so its halo band is the PREVIOUS exchange's
+    # result: one t_surf exchange per phase instead of two
     for p in range(P):
         sl = slice(p * mp, (p + 1) * mp)
         xs, ys, ts = x[sl], y[sl], t[sl]
@@ -134,8 +205,10 @@ def halo_micro_step(state: SurfaceState, batch, cfg: FlowConfig, n: int):
         written = epoch == ep_val
 
         # ---- plane-fit stage on support_radius-extended time surfaces ----
-        t_pre_ext = exchange_halo(t_pre, R, n)
+        t_pre_ext = (prev_post_ext if prev_post_ext is not None
+                     else exchange_halo(t_pre, R, n))
         t_post_ext = exchange_halo(t_surf, R, n)
+        prev_post_ext = t_post_ext
         if pk_local:
             vx_map, vy_map, gate_map, len_map, theta_map = (
                 pallas_kernels.local_flow_pallas(
@@ -152,16 +225,18 @@ def halo_micro_step(state: SurfaceState, batch, cfg: FlowConfig, n: int):
         flow_vy = jnp.where(
             written, jnp.where(gate_map, vy_map, 0.0), flow_vy)
 
-        # ---- aperture stage on (max_window + 1)-extended flow surfaces ----
-        len_ext = exchange_halo(flow_len, A, n)
-        vx_ext = exchange_halo(flow_vx, A, n)
-        vy_ext = exchange_halo(flow_vy, A, n)
+        # ---- aperture stage by exchanged integral partials: each shard
+        # integrates only its own rows; the band carries global-integral
+        # values (assemble_integral_band), so no pooling work repeats
+        # across shards (VERDICT.md r3 item 3) ----
+        integ_ext = assemble_integral_band(flow_len, flow_vx, flow_vy,
+                                           cfg, n, A)
         if pk_apert:
             tvx_map, tvy_map, scale_map = pallas_kernels.aperture_pallas(
-                len_ext, vx_ext, vy_ext, cfg, halo=A)
+                flow_len, flow_vx, flow_vy, cfg, halo=A, integ=integ_ext)
         else:
             tvx_map, tvy_map, scale_map = dense_aperture(
-                len_ext, vx_ext, vy_ext, cfg, halo=A)
+                flow_len, flow_vx, flow_vy, cfg, halo=A, integ=integ_ext)
 
         out_maps = wire_maps(gate_map, vx_map, vy_map, tvx_map, tvy_map,
                              scale_map, cfg)

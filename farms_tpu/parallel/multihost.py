@@ -186,3 +186,106 @@ class MultiHostFlowEngine(FlowEngine):
         global_chunk = jax.make_array_from_callback(
             chunk.shape, self._batch_sharding, lambda idx: chunk[idx])
         return self._scan(self.state, global_chunk, self.cfg)
+
+    # ---- rank-distributed output writing --------------------------------
+    def write_flow_distributed(self, ev, base_path: str) -> str:
+        """Batch-mode file contract without the output allgather.
+
+        `process()` + `write_flow_txt` ships every output byte over DCN
+        (process_allgather in _fetch) before rank 0 writes the file.
+        Here each process instead fetches only the lane shards its OWN
+        devices hold (outputs are sharded P('ev'); copies along 'tx'
+        dedupe by shard index), decodes them to the 7 wire columns, and
+        stages them to `<base_path>.part<k>.npz` on the shared
+        filesystem; after a barrier, process 0 assembles the parts in
+        lane order and writes the reference 11-column txt
+        (vFlow.cpp:433-442). Output data never crosses DCN - only the
+        barrier does. Returns the txt path (all processes).
+
+        With 'ev' spanning processes the parts are disjoint; with 'ev'
+        process-local every process stages the same lanes and assembly
+        is idempotent.
+        """
+        import os
+
+        from jax.experimental import multihost_utils
+
+        from farms_tpu.events.io import write_flow_txt
+        from farms_tpu.pipeline.engine import (FlowOutput,
+                                               decode_wire_columns,
+                                               wire_n_main_rows)
+
+        n = len(ev)
+        steps_per_call = max(1, min(
+            self.cfg.steps_per_scan,
+            -(-self._PIPELINE_EVENTS // self.cfg.chunk_size)))
+        packed, n = self.pack(ev, steps_per_call=steps_per_call,
+                              compact=self._compact_ok)
+        spc, m = packed.shape[1], packed.shape[3]
+        outs = []
+        for c in range(packed.shape[0]):
+            self.state, out = self._dispatch(jnp.asarray(packed[c]))
+            outs.append(out)
+
+        rows_l, cols_l = [], []
+        C = wire_n_main_rows(self.cfg)
+        for c, (mo, ao) in enumerate(outs):
+            mains = {}
+            for sh in mo.addressable_shards:
+                lo = sh.index[2].start or 0
+                mains.setdefault(lo, np.asarray(sh.data))
+            auxs = {}
+            for sh in ao.addressable_shards:
+                lo = sh.index[1].start or 0
+                auxs.setdefault(lo, np.asarray(sh.data))
+            for lo, mb in sorted(mains.items()):
+                ab = auxs[lo]
+                bm = mb.shape[2]
+                main2 = mb.transpose(1, 0, 2).reshape(C, -1)
+                aux1 = ab.reshape(-1)
+                g = ((c * spc + np.arange(spc))[:, None] * m
+                     + lo + np.arange(bm)[None, :]).reshape(-1)
+                keep = g < n
+                if not keep.any():
+                    continue
+                rows_l.append(g[keep])
+                cols_l.append({k: v[keep] for k, v in
+                               decode_wire_columns(main2, aux1,
+                                                   self.cfg).items()})
+
+        part = f"{base_path}.part{jax.process_index()}.npz"
+        payload = {"rows": (np.concatenate(rows_l) if rows_l
+                            else np.zeros(0, np.int64))}
+        for key in ("r_true", "theta_true", "vx", "vy", "r_local",
+                    "theta_local", "scale"):
+            payload[key] = (np.concatenate([c[key] for c in cols_l])
+                            if cols_l else np.zeros(0))
+        np.savez(part, **payload)
+        multihost_utils.sync_global_devices("farms-dist-write-parts")
+
+        path = base_path + "_FARMSOut_batch.txt"
+        if jax.process_index() == 0:
+            full = {k: np.zeros(n, payload[k].dtype)
+                    for k in payload if k != "rows"}
+            covered = np.zeros(n, bool)
+            for p in range(jax.process_count()):
+                pf = f"{base_path}.part{p}.npz"
+                with np.load(pf) as d:
+                    r = d["rows"]
+                    for k in full:
+                        full[k][r] = d[k]
+                    covered[r] = True
+            assert covered.all(), "distributed parts left lanes uncovered"
+            t = (ev.t.astype(np.uint32)
+                 - (self._t0 or np.uint32(0))).astype(np.uint32)
+            out = FlowOutput(x=ev.x.astype(np.int32),
+                             y=ev.y.astype(np.int32), t=t,
+                             pol=ev.pol.astype(np.int32), **full)
+            path = write_flow_txt(out, base_path)
+            for p in range(jax.process_count()):
+                try:
+                    os.remove(f"{base_path}.part{p}.npz")
+                except OSError:
+                    pass
+        multihost_utils.sync_global_devices("farms-dist-write-done")
+        return path

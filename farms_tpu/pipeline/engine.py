@@ -10,8 +10,8 @@ checkpoint/resume mechanism: the surface pytree *is* the whole state).
 Host<->device traffic is packed: one int32 [steps, rows, m] upload per
 call — rows=5 (x, y, t, lane_valid, winner), the compact rows=2 layout
 (flat index | winner<<30, t; 8 bytes/event), or the delta-coded compact2
-rows=1 layout (4 bytes/event, pack2/scan_chunk2, small sensors with
-<16.4 ms stamp gaps) — and one wire-format download
+rows=1 layout (4 bytes/event, pack2/scan_chunk2; geometry-derived field
+widths, oversized gaps escape-coded exactly) — and one wire-format download
 (i32 [steps, C, m] flow components + u8 [steps, m] validity/scale; 9-17
 bytes/event, see wire_pack; the magnitude/angle columns are derived
 host-side), so throughput is bounded by bandwidth rather than per-array
@@ -51,6 +51,21 @@ from farms_tpu.state.surfaces import SurfaceState, init_state
 from farms_tpu.utils import nativeio
 
 N_OUT_COLS = 7  # r_true, theta_true, vx, vy, r_local, theta_local, scale
+
+# compact2 delta-coded upload: field widths are geometry-derived - flat
+# pixel index wide enough for W*H (the padded-lane sentinel) plus one
+# winner bit, stamp delta in the remaining bits. Deltas too large for the
+# field are escape-coded: up to _C2_ESCAPES (lane, true-delta) pairs per
+# micro-step ride in a tiny side array and are re-added on device
+# (VERDICT.md r3 item 6: 640x480 and 1280x720 previously paid the 8 B
+# layout on an H2D-bound lane).
+_C2_ESCAPES = 16
+
+
+def compact2_bits(cfg: FlowConfig) -> tuple[int, int]:
+    """(index_bits, delta_bits) of the compact2 word for this sensor."""
+    idx_bits = (cfg.width * cfg.height).bit_length()
+    return idx_bits, 31 - idx_bits
 
 
 # --------------------------------------------------------------------------
@@ -137,20 +152,32 @@ def micro_step(state: SurfaceState, batch, cfg: FlowConfig):
     """
     is_winner = None
     lane_valid = None
-    if isinstance(batch, (tuple, list)) and len(batch) == 2:
-        # compact2 int32 ([1, m] word row, [] step base): bits 0-16 flat
-        # pixel index (sentinel W*H on padded lanes), bit 17 winner, bits
-        # 18-31 the unsigned stamp delta to the previous lane (lane 0's
-        # delta is 0; `base` is the step's first normalized stamp).
+    if isinstance(batch, (tuple, list)) and len(batch) == 3:
+        # compact2 int32 ([1, m] word row, [] step base, [2, E] escape
+        # (lane, delta) rows): bits 0..ib-1 flat pixel index
+        # (sentinel W*H on padded lanes), bit ib winner, the remaining
+        # 31-ib bits the unsigned stamp delta to the previous lane
+        # (lane 0's delta is 0; `base` is the step's first normalized
+        # stamp; ib is geometry-derived, compact2_bits). Deltas too big
+        # for the field are encoded as 0 in the word and carried exactly
+        # in the escape pair arrays (lane index, true delta; sentinel
+        # lane m = unused slot): every lane at or past an escape lane
+        # re-adds that escape's delta, restoring the exact cumsum.
         # 4 bytes/event on the H2D wire; the host packer falls back to
-        # the 8-byte layout whenever a delta exceeds 14 bits or the
-        # sensor exceeds 2^17 - 1 pixels (pack()).
-        word, base = batch
+        # the 8-byte layout only when a step overflows the escape budget
+        # or the sensor exceeds 2^23 pixels (pack2()).
+        word, base, esc = batch
+        esc_l, esc_d = esc[0], esc[1]
         word = word[0]
-        is_winner = ((word >> 17) & 1).astype(jnp.bool_)
-        dt = (word >> 18) & jnp.int32(0x3FFF)
+        ib, db = compact2_bits(cfg)
+        is_winner = ((word >> ib) & 1).astype(jnp.bool_)
+        dt = (word >> (ib + 1)) & jnp.int32((1 << db) - 1)
         t = base + jnp.cumsum(dt, dtype=jnp.int32)
-        xy = word & jnp.int32(0x1FFFF)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, word.shape[0]), 1)[0]
+        t = t + jnp.sum(
+            jnp.where(lane[None, :] >= esc_l[:, None], esc_d[:, None], 0),
+            axis=0, dtype=jnp.int32)
+        xy = word & jnp.int32((1 << ib) - 1)
         x = xy // jnp.int32(cfg.height)
         y = xy - x * jnp.int32(cfg.height)
     elif isinstance(batch, (tuple, list)):
@@ -218,11 +245,18 @@ def micro_step(state: SurfaceState, batch, cfg: FlowConfig):
         t1s = ts + 1     # stamp1 encoding (see state/surfaces.py)
         ep_val = state.step * P + p   # unique, monotone write epoch
 
-        # ---- permanent staleness kill at phase start (exact; see
-        # state/surfaces.py kill_stale_flow) ----
-        age = (ts[0] + 1) - t_surf
-        stale = (age >= cfg.kill_old_flow_time_us) | (age < 0)
-        flow_len = jnp.where(stale, 0.0, flow_len)
+        # ---- permanent staleness kill (exact; see state/surfaces.py
+        # kill_stale_flow). With coarse aperture phasing the kill runs at
+        # APERTURE group starts only: flow_len is consumed solely by the
+        # pooling stage, and killing at every plane-fit group start would
+        # erase the early groups' temporal neighborhood before their
+        # pooling pass ever runs (measured: AEE 5.1 vs 0.17 px/ms on the
+        # bar stream) - the uniform sub_phases=A cadence is the semantic
+        # anchor. ----
+        if not A_coarse or p % (P // A_coarse) == 0:
+            age = (ts[0] + 1) - t_surf
+            stale = (age >= cfg.kill_old_flow_time_us) | (age < 0)
+            flow_len = jnp.where(stale, 0.0, flow_len)
 
         # ---- scatter events into the time surface ----
         # Only group winners write (non-winners would be overwritten
@@ -417,13 +451,15 @@ def scan_chunk(state: SurfaceState, chunk, cfg: FlowConfig):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
-def scan_chunk2(state: SurfaceState, chunk, bases, cfg: FlowConfig):
+def scan_chunk2(state: SurfaceState, chunk, bases, escapes,
+                cfg: FlowConfig):
     """scan_chunk for the compact2 wire: `chunk` int32 [n_steps, 1, m]
-    delta-coded words + `bases` int32 [n_steps] per-step first stamps."""
+    delta-coded words + `bases` int32 [n_steps] per-step first stamps +
+    `escapes` int32 [n_steps, 2, E] oversized-delta pairs."""
     def body(st, xs):
         return micro_step(st, xs, cfg)
 
-    return jax.lax.scan(body, state, (chunk, bases))
+    return jax.lax.scan(body, state, (chunk, bases, escapes))
 
 
 def _sparse_pack_outputs(main, aux):
@@ -481,12 +517,13 @@ def scan_chunk_sparse(state: SurfaceState, chunk, cfg: FlowConfig):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
-def scan_chunk2_sparse(state: SurfaceState, chunk, bases, cfg: FlowConfig):
+def scan_chunk2_sparse(state: SurfaceState, chunk, bases, escapes,
+                       cfg: FlowConfig):
     """scan_chunk2 + on-device sparse-wire compaction (cfg.wire='sparse')."""
     def body(st, xs):
         return micro_step(st, xs, cfg)
 
-    state, (main, aux) = jax.lax.scan(body, state, (chunk, bases))
+    state, (main, aux) = jax.lax.scan(body, state, (chunk, bases, escapes))
     return state, _sparse_pack_outputs(main, aux)
 
 
@@ -622,35 +659,50 @@ class FlowEngine:
     def pack2(self, ev: EventBatch, steps_per_call: int | None = None):
         """Delta-coded 4 B/event repack of the compact layout.
 
-        Returns (packed, bases, n): int32 [n_calls, spc, 1, m] words
-        (flat idx | winner << 17 | stamp-delta << 18) + int32
-        [n_calls, spc] per-step base stamps - halving the compact
-        layout's H2D bytes (the e2e lane is wire-bound, bench.py).
-        When the geometry (>= 2^17 pixels) or the stream (a delta past
-        14 bits, i.e. a >16.4 ms gap between consecutive events) does
-        not fit, `bases` is None and `packed` is the compact/5-row
-        fallback from pack() - exact stamps always win over wire size.
+        Returns (packed, aux, n): int32 [n_calls, spc, 1, m] words
+        (flat idx | winner << ib | stamp-delta << ib+1, with ib the
+        geometry-derived index width - compact2_bits) and aux = (bases
+        int32 [n_calls, spc] per-step first stamps, escapes int32
+        [n_calls, spc, 2, E] oversized-delta (lane, true delta) pairs) -
+        halving the compact layout's H2D bytes (the e2e lane is
+        wire-bound, bench.py). Deltas past the field width escape-code
+        exactly (up to E per micro-step); `aux` is None and `packed` the
+        compact/5-row fallback from pack() only when a step overflows
+        the escape budget or the sensor exceeds 2^23 pixels - exact
+        stamps always win over wire size.
         """
         packed, n = self.pack(ev, steps_per_call=steps_per_call,
                               compact=True)
-        if (packed.shape[2] != 2
-                or self.cfg.width * self.cfg.height >= (1 << 17)):
+        ib, db = compact2_bits(self.cfg)
+        if packed.shape[2] != 2 or db < 8:
             return packed, None, n
+        E = _C2_ESCAPES
         pu = packed.view(np.uint32)
         word1 = pu[:, :, 0, :]
         t = pu[:, :, 1, :]
-        base = t[:, :, :1]
+        n_calls, spc, m = t.shape
         dt = t.copy()
         dt[:, :, 1:] -= t[:, :, :-1]
         dt[:, :, 0] = 0
-        if dt.max() > 0x3FFF:   # wrapped-negative or oversized gaps too
-            return packed, None, n
+        escapes = np.empty((n_calls, spc, 2, E), np.int32)
+        escapes[:, :, 0, :] = m           # sentinel lane: unused slot
+        escapes[:, :, 1, :] = 0
+        over = dt > np.uint32((1 << db) - 1)   # incl. wrapped negatives
+        if over.any():
+            cnt = over.sum(axis=2)
+            if cnt.max() > E:
+                return packed, None, n
+            for c, s in zip(*np.nonzero(cnt)):
+                lanes = np.nonzero(over[c, s])[0]
+                escapes[c, s, 0, :lanes.size] = lanes
+                escapes[c, s, 1, :lanes.size] = dt[c, s, lanes].view(np.int32)
+            dt = np.where(over, np.uint32(0), dt)
         win = (word1 >> np.uint32(30)) & np.uint32(1)
         flat = word1 & np.uint32(0x3FFFFFFF)
-        word2 = (flat | (win << np.uint32(17))
-                 | (dt << np.uint32(18))).view(np.int32)
-        bases = np.ascontiguousarray(base[:, :, 0]).view(np.int32)
-        return word2[:, :, None, :], bases, n
+        word2 = (flat | (win << np.uint32(ib))
+                 | (dt << np.uint32(ib + 1))).view(np.int32)
+        bases = np.ascontiguousarray(t[:, :, 0]).view(np.int32)
+        return word2[:, :, None, :], (bases, escapes), n
 
     def _unpack_outputs(self, out_blocks, ev: EventBatch, n: int) -> FlowOutput:
         """Decode wire blocks [(main i32 [steps,C,m], aux u8 [steps,m])]
@@ -689,39 +741,14 @@ class FlowEngine:
                  for mo, _ in out_blocks], axis=1)[:, :n]
             aux = np.concatenate(
                 [np.asarray(ao).reshape(-1) for _, ao in out_blocks])[:n]
-        if cfg.wire != "f32":
-            p0 = main[0].view(np.uint32)
-            p1 = main[1].view(np.uint32)
-            vx = (p0 & 0xFFFF).astype(np.uint16).view(np.float16).astype(np.float32)
-            vy = (p0 >> 16).astype(np.uint16).view(np.float16).astype(np.float32)
-            tvx = (p1 & 0xFFFF).astype(np.uint16).view(np.float16).astype(np.float32)
-            tvy = (p1 >> 16).astype(np.uint16).view(np.float16).astype(np.float32)
-        else:
-            vx = main[0].view(np.float32)
-            vy = main[1].view(np.float32)
-            tvx = main[2].view(np.float32)
-            tvy = main[3].view(np.float32)
-        valid = (aux & 0x80) != 0
-        scale = (aux & 0x7F).astype(np.int32) * cfg.window_jump
-        with np.errstate(invalid="ignore", over="ignore"):
-            r_true = np.sqrt(tvx * tvx + tvy * tvy)
-            theta_true = np.arctan2(tvy, tvx)
-            length = np.sqrt(vx * vx + vy * vy)
-            theta_l = np.arctan2(vy, vx)
-        zero = np.float32(0.0)
+        cols = decode_wire_columns(main, aux, cfg)
         t = (ev.t.astype(np.uint32) - self._t0).astype(np.uint32)
         return FlowOutput(
             x=ev.x.astype(np.int32),
             y=ev.y.astype(np.int32),
             t=t,
             pol=ev.pol.astype(np.int32),
-            r_true=r_true,
-            theta_true=theta_true,
-            vx=vx,
-            vy=vy,
-            r_local=np.where(valid, length, zero),
-            theta_local=np.where(valid, theta_l, zero),
-            scale=scale,
+            **cols,
         )
 
     # ---- drivers -----------------------------------------------------------
@@ -764,18 +791,20 @@ class FlowEngine:
         # the delta-coded 4 B/event upload applies only to engines running
         # the base (unsharded) dispatch: sharded subclasses partition the
         # chunk array and would need matching specs for the base vector
-        bases = None
+        aux2 = None
         if self._compact_ok and base_dispatch:
-            packed, bases, n = self.pack2(ev, steps_per_call=steps_per_call)
+            packed, aux2, n = self.pack2(ev, steps_per_call=steps_per_call)
         else:
             packed, n = self.pack(ev, steps_per_call=steps_per_call,
                                   compact=self._compact_ok)
 
         def dispatch(c):
-            if bases is not None:
+            if aux2 is not None:
+                bases, escapes = aux2
                 fn = scan_chunk2_sparse if sparse else scan_chunk2
                 self.state, out = fn(self.state, jnp.asarray(packed[c]),
-                                     jnp.asarray(bases[c]), self.cfg)
+                                     jnp.asarray(bases[c]),
+                                     jnp.asarray(escapes[c]), self.cfg)
             elif sparse:
                 self.state, out = scan_chunk_sparse(
                     self.state, jnp.asarray(packed[c]), self.cfg)
@@ -860,6 +889,48 @@ class FlowEngine:
             return out
 
         return fn, n
+
+
+def decode_wire_columns(main, aux, cfg: FlowConfig) -> dict:
+    """Decode wire rows into the 7 per-lane output columns.
+
+    `main` is int32 [C, k] (C = wire_n_main_rows; f16 mode packs each
+    component pair into one i32), `aux` u8 [k]. Returns the dict of
+    numpy columns {r_true, theta_true, vx, vy, r_local, theta_local,
+    scale} - the magnitude/angle columns (vFlow.cpp:370-396) are pure
+    f32 functions of the shipped components and derive here. Invalid
+    lanes keep their raw (possibly NaN) vx/vy and zeros elsewhere
+    (vFlow.cpp:390-395); the true components arrive pre-gated to 0.
+    """
+    if cfg.wire != "f32":
+        p0 = main[0].view(np.uint32)
+        p1 = main[1].view(np.uint32)
+        vx = (p0 & 0xFFFF).astype(np.uint16).view(np.float16).astype(np.float32)
+        vy = (p0 >> 16).astype(np.uint16).view(np.float16).astype(np.float32)
+        tvx = (p1 & 0xFFFF).astype(np.uint16).view(np.float16).astype(np.float32)
+        tvy = (p1 >> 16).astype(np.uint16).view(np.float16).astype(np.float32)
+    else:
+        vx = main[0].view(np.float32)
+        vy = main[1].view(np.float32)
+        tvx = main[2].view(np.float32)
+        tvy = main[3].view(np.float32)
+    valid = (aux & 0x80) != 0
+    scale = (aux & 0x7F).astype(np.int32) * cfg.window_jump
+    with np.errstate(invalid="ignore", over="ignore"):
+        r_true = np.sqrt(tvx * tvx + tvy * tvy)
+        theta_true = np.arctan2(tvy, tvx)
+        length = np.sqrt(vx * vx + vy * vy)
+        theta_l = np.arctan2(vy, vx)
+    zero = np.float32(0.0)
+    return dict(
+        r_true=r_true,
+        theta_true=theta_true,
+        vx=vx,
+        vy=vy,
+        r_local=np.where(valid, length, zero),
+        theta_local=np.where(valid, theta_l, zero),
+        scale=scale,
+    )
 
 
 def _empty_output() -> FlowOutput:

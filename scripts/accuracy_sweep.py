@@ -140,9 +140,14 @@ def main():
     ap.add_argument("--wire", default="f16",
                     help="wire format for the engine (bench ships f16)")
     ap.add_argument("--out", default="ACCURACY.json")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend in-process (the axon env "
+                         "var re-registers itself, tests/conftest.py)")
     args = ap.parse_args()
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     backend = jax.default_backend()
     results = {"backend": backend, "n_events": args.n, "streams": {}}
     for kind in args.stream:
@@ -155,7 +160,7 @@ def main():
         for m in args.chunks:
             for P in args.phases:
                 for AP in args.aperture_phases:
-                    if m % P or (AP and (AP % P or m % AP)):
+                    if m % P or (AP and ((AP % P and P % AP) or m % AP)):
                         continue
                     cfg = FlowConfig(width=320, height=320, chunk_size=m,
                                      steps_per_scan=8, sub_phases=P,

@@ -124,14 +124,16 @@ def main():
             rate = time_resident(eng, ev)
             if base is None:
                 base = rate
-            # stencil-replication ceiling: each shard recomputes its
-            # (max_window + 1)-row aperture halo, so the per-pixel stages
-            # cannot scale past core/(core + 2*halo) even with free
-            # communication - an algorithmic property of the 100-px
-            # aperture support (SURVEY.md hard part 2), not overhead
+            # stencil-replication ceiling. The aperture stage no longer
+            # replicates ANY halo work: shards exchange integral
+            # partials (parallel/halo.py assemble_integral_band), so its
+            # ceiling is 1. The plane-fit stage still recomputes a
+            # support_radius-row band (R = 2*f_rad = 2 for k=3) - the
+            # only remaining by-construction replication
             core = args.width / nd
-            ceiling = (1.0 if nd == 1
-                       else core / (core + 2 * (args.max_window + 1)))
+            R = 2 * ((args.filter_size if hasattr(args, "filter_size")
+                      else 3) // 2)
+            ceiling = 1.0 if nd == 1 else core / (core + 2 * R)
             eff = rate / (base * nd)
             rows.append({
                 "devices": nd,

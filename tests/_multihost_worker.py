@@ -48,6 +48,25 @@ def main() -> int:
     out = eng.process(ev)
     out2 = eng.process(ev2)
 
+    # ---- rank-distributed output writer (VERDICT.md r3 item 8) ----
+    # a separate engine on an ev-ACROSS-processes mesh (transposed device
+    # grid: process p owns ev lane p at both tx rows), so the staged
+    # parts are genuinely disjoint; _fetch is poisoned to prove no output
+    # allgather runs
+    devs = np.array(jax.devices()).reshape(2, 2).T
+    from jax.sharding import Mesh
+    wmesh = Mesh(devs, axis_names=("tx", "ev"))
+    weng = MultiHostFlowEngine(cfg, mesh=wmesh)
+
+    def _no_fetch(o):
+        raise AssertionError("write_flow_distributed must not allgather")
+    weng._fetch = _no_fetch
+    # the staging base must be SHARED across processes (parts land on the
+    # common filesystem); out_path is per-process, its directory is not
+    import os
+    weng.write_flow_distributed(
+        full, os.path.join(os.path.dirname(out_path), "dist"))
+
     np.savez(out_path,
              r_true=np.concatenate([out.r_true, out2.r_true]),
              theta_true=np.concatenate([out.theta_true, out2.theta_true]),

@@ -295,9 +295,17 @@ def test_coarse_aperture_semantics(bar_events):
 
     W = H = 64
     m = 256
-    cfg_u = FlowConfig(width=W, height=H, chunk_size=m, sub_phases=2)
+    # huge kill window: in coarse mode the staleness kill runs at
+    # aperture-group starts only (uniform sub_phases=A cadence), so a
+    # mid-chunk kill would make the uniform run's state diverge; with
+    # kills inert both evolutions are identical and the pooling oracle
+    # is exact. The default-kill cadence is covered by the validity
+    # assertions below (t_surf never sees kills) and the ACCURACY sweep.
+    kill = 1 << 29
+    cfg_u = FlowConfig(width=W, height=H, chunk_size=m, sub_phases=2,
+                       kill_old_flow_time_us=kill)
     cfg_c = FlowConfig(width=W, height=H, chunk_size=m, sub_phases=2,
-                       aperture_sub_phases=1)
+                       aperture_sub_phases=1, kill_old_flow_time_us=kill)
 
     eng = FlowEngine(cfg_u)
     packed, _ = eng.pack(bar_events[:m], steps_per_call=1)

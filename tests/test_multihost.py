@@ -131,3 +131,21 @@ def test_two_process_multihost_matches_single_process(tmp_path):
         # ...equal to the single-process engine's
         np.testing.assert_allclose(got[0][col], ref[col], rtol=0, atol=0,
                                    err_msg=f"multi-host {col} != single")
+
+    # rank-distributed writer (VERDICT.md r3 item 8): the txt written
+    # from disjoint per-process lane shards - with the output allgather
+    # poisoned - must be byte-identical to the single-process file
+    from farms_tpu.events.io import write_flow_txt
+
+    ev, ev2 = _worker_stream()
+    full = EventBatch(np.concatenate([ev.x, ev2.x]),
+                      np.concatenate([ev.y, ev2.y]),
+                      np.concatenate([ev.t, ev2.t]),
+                      np.concatenate([ev.pol, ev2.pol]))
+    single = FlowEngine(_worker_cfg())
+    want_txt = write_flow_txt(single.process(full),
+                              str(tmp_path / "single"))
+    dist_txt = str(tmp_path / "dist_FARMSOut_batch.txt")
+    assert os.path.exists(dist_txt), "distributed writer produced no file"
+    with open(want_txt, "rb") as a, open(dist_txt, "rb") as b:
+        assert a.read() == b.read(), "distributed txt != single-process txt"

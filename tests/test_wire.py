@@ -128,40 +128,80 @@ def test_wire_validation(bad):
         FlowConfig(wire=bad)
 
 
+class _NoCompact2(FlowEngine):
+    # overriding _dispatch disables the compact2 path (base-dispatch
+    # gate in process())
+    def _dispatch(self, chunk):
+        return super()._dispatch(chunk)
+
+
 def test_compact2_upload_parity_and_fallbacks():
     """The delta-coded 4 B/event upload (engine.pack2/scan_chunk2) must
-    produce byte-identical outputs to the 8 B compact layout, and must
-    fall back to it on oversized stamp gaps or >= 2^17-pixel sensors."""
+    produce byte-identical outputs to the 8 B compact layout; oversized
+    stamp gaps escape-code exactly, and only an over-budget escape count
+    or an absurd sensor falls back."""
     from farms_tpu.events.io import synthetic_translating_bar
-
-    class NoCompact2(FlowEngine):
-        # overriding _dispatch disables the compact2 path (base-dispatch
-        # gate in process())
-        def _dispatch(self, chunk):
-            return super()._dispatch(chunk)
+    from farms_tpu.pipeline.engine import _C2_ESCAPES
 
     ev = synthetic_translating_bar(width=64, height=64, bar_len=24,
                                    duration_us=40000, jitter_us=30, seed=1)
     cfg = FlowConfig(width=64, height=64, chunk_size=256, steps_per_scan=2)
-    p, bases, n = FlowEngine(cfg).pack2(ev)
-    assert bases is not None and p.shape[2] == 1
+    p, aux2, n = FlowEngine(cfg).pack2(ev)
+    assert aux2 is not None and p.shape[2] == 1
     a = FlowEngine(cfg).process(ev)
-    b = NoCompact2(cfg).process(ev)
+    b = _NoCompact2(cfg).process(ev)
     for col in ("vx", "vy", "r_true", "theta_true", "r_local",
                 "theta_local", "scale"):
         np.testing.assert_array_equal(getattr(a, col), getattr(b, col))
 
-    # a > 16.4 ms gap exceeds the 14-bit delta field -> exact fallback
+    # a gap past the delta field escape-codes (64x64: ib=13, db=18 ->
+    # gaps >= 2^18 us) and still matches the 8 B layout byte-for-byte
     ev2 = ev[:]
-    ev2.t[len(ev2) // 2:] += np.uint32(40000)
-    _, bases, _ = FlowEngine(cfg).pack2(ev2)
-    assert bases is None
+    ev2.t[len(ev2) // 2:] += np.uint32(1 << 19)
+    _, aux2, _ = FlowEngine(cfg).pack2(ev2)
+    assert aux2 is not None, "oversized gap should escape-code, not fall back"
+    assert (np.asarray(aux2[1][:, :, 0, :]) < 256).any(), "no escape used"
     a = FlowEngine(cfg).process(ev2)
-    b = NoCompact2(cfg).process(ev2)
+    b = _NoCompact2(cfg).process(ev2)
     np.testing.assert_array_equal(a.scale, b.scale)
     np.testing.assert_array_equal(a.vx, b.vx)
+    np.testing.assert_array_equal(a.r_true, b.r_true)
 
-    # sensors past 2^17 pixels cannot address the 17-bit index field
-    big = FlowConfig(width=512, height=512, chunk_size=256)
-    _, bases, _ = FlowEngine(big).pack2(ev)
-    assert bases is None
+    # more oversized gaps per step than escape slots -> exact fallback
+    # (a gap every chunk_size/(E+4) lanes puts E+4 escapes in one step)
+    ev3 = ev[:]
+    stride = max(1, 256 // (_C2_ESCAPES + 4))
+    bump = np.zeros(len(ev3), np.uint32)
+    bump[::stride] = 1 << 19
+    ev3.t[:] = ev3.t + np.cumsum(bump).astype(np.uint32)
+    _, aux2, _ = FlowEngine(cfg).pack2(ev3)
+    assert aux2 is None
+    a = FlowEngine(cfg).process(ev3)
+    b = _NoCompact2(cfg).process(ev3)
+    np.testing.assert_array_equal(a.scale, b.scale)
+
+    # sensors past 2^23 pixels leave < 8 delta bits -> fallback
+    huge = FlowConfig(width=4096, height=4096, chunk_size=256)
+    _, aux2, _ = FlowEngine(huge).pack2(ev)
+    assert aux2 is None
+
+
+def test_compact2_large_sensor_parity():
+    """640x480 (BASELINE config 3) now rides the 4 B layout: ib=19,
+    db=12 - parity against the 8 B layout on a real-geometry stream
+    (VERDICT.md r3 item 6)."""
+    from farms_tpu.events.io import synthetic_translating_bar
+
+    ev = synthetic_translating_bar(width=640, height=480, bar_len=80,
+                                   duration_us=20000, jitter_us=30, seed=2)
+    ev.y[:] = np.clip(ev.y, 0, 479)
+    cfg = FlowConfig(width=640, height=480, chunk_size=256,
+                     steps_per_scan=2, max_window=10)
+    p, aux2, _ = FlowEngine(cfg).pack2(ev)
+    assert aux2 is not None and p.shape[2] == 1
+    a = FlowEngine(cfg).process(ev)
+    b = _NoCompact2(cfg).process(ev)
+    for col in ("x", "y", "t", "vx", "vy", "r_true", "scale"):
+        np.testing.assert_array_equal(getattr(a, col), getattr(b, col))
+    valid = a.r_local > 0
+    assert valid.any()
