@@ -70,9 +70,11 @@ def main():
     aphases = int(os.environ.get("FARMS_BENCH_APHASES", 0))
     backend = os.environ.get("FARMS_BENCH_BACKEND", "auto")
     use_pallas = {"auto": None, "pallas": True, "dense": False}[backend]
+    snapshots = int(os.environ.get("FARMS_BENCH_SNAPSHOTS", 1))
     cfg = FlowConfig(width=320, height=320, chunk_size=m, use_dense=True,
                      wire=wire, sub_phases=phases,
-                     aperture_sub_phases=aphases, use_pallas=use_pallas)
+                     aperture_sub_phases=aphases, use_pallas=use_pallas,
+                     causal_snapshots=snapshots)
 
     ev = synthetic_random_events(n, width=320, height=320, rate_hz=5e6,
                                  seed=0)

@@ -83,6 +83,23 @@ class FlowConfig:
     #   aperture:   chunk_size / aperture_sub_phases
     aperture_sub_phases: int = 0
 
+    # Causal visibility snapshots per sub-phase (dense path). The
+    # batched error has two parts: NEIGHBOR VISIBILITY (a neighbor pixel
+    # written several times within a group exposes only its pre/post
+    # stamps to the causal view, so an intermediate write a center event
+    # should see is missed - the dominant source of validity flips) and
+    # CENTER ATTRIBUTION (non-winner events inherit the group winner's
+    # fit). S > 1 scatters each sub-phase in S chronological sub-groups
+    # and keeps every boundary surface; the plane-fit causal view folds
+    # over all S+1 snapshots (newest value not in the center's future),
+    # reproducing sub_phases*S visibility granularity from ONE dense
+    # pass - ~2 extra VPU ops per support offset per snapshot instead of
+    # S full stencil passes. Scatter volume is unchanged (S scatters of
+    # 1/S the lanes). Granularities:
+    #   neighbor visibility: chunk_size / (sub_phases * causal_snapshots)
+    #   center attribution:  chunk_size / sub_phases
+    causal_snapshots: int = 1
+
     # --- compute path selection ---
     # dense=True (default): per-pixel stencil formulation (ops/dense_flow.py)
     # - the TPU fast path; per-event random access is limited to the initial
@@ -153,6 +170,15 @@ class FlowConfig:
                 f"aperture_sub_phases {self.aperture_sub_phases} must be a "
                 f"multiple or divisor of sub_phases {self.sub_phases} and "
                 f"divide chunk_size {self.chunk_size}")
+        if self.causal_snapshots < 1 or (
+                self.chunk_size % (self.sub_phases * self.causal_snapshots)):
+            raise ValueError(
+                f"causal_snapshots {self.causal_snapshots} must be >= 1 "
+                f"with sub_phases*causal_snapshots dividing chunk_size")
+        if self.causal_snapshots > 1 and not self.use_dense:
+            raise ValueError(
+                "causal_snapshots > 1 is a dense-path feature (the "
+                "per-event formulation has no snapshot fold)")
         if self.wire not in ("f32", "f16", "sparse"):
             raise ValueError(
                 f"wire must be 'f32', 'f16' or 'sparse', got {self.wire}")

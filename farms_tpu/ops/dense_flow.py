@@ -79,6 +79,12 @@ def dense_local_flow(t_pre, t_post, cfg: FlowConfig, *,
     f = cfg.f_rad
     R = cfg.support_radius
     n_cells = k * k
+    # multi-snapshot causal visibility (FlowConfig.causal_snapshots):
+    # t_pre may be a tuple of intra-batch boundary surfaces, oldest
+    # first; the causal view folds over them plus t_post (newest value
+    # not in the center's future), reproducing finer sub-phasing's
+    # neighbor visibility from one pass
+    snaps = tuple(t_pre) if isinstance(t_pre, (tuple, list)) else (t_pre,)
     rows = t_post.shape[0] - 2 * halo  # core rows this call computes
     Ha = t_post.shape[1]               # array height (>= H when padded)
 
@@ -99,15 +105,16 @@ def dense_local_flow(t_pre, t_post, cfg: FlowConfig, *,
                 vis = t_c
                 tch = jnp.ones(t_c.shape, dtype=jnp.bool_)
             else:
-                tp = _shifted(t_post, ox, oy, 0, halo)
-                tq = _shifted(t_pre, ox, oy, 0, halo)
-                # neighbor's latest write not in p's future. stamp1 values
-                # are uint32 stored in int32, so order via the int32
-                # *difference* (exact mod-2^32 for any pair < 2^31 apart),
-                # never a direct signed compare (wrong once stamps >= 2^31,
-                # ~35.8 min of stream).
-                causal = (t_c - tp) >= 0
-                vis = jnp.where(causal, tp, tq)
+                # neighbor's latest write not in p's future, folded over
+                # the snapshot chain (oldest base, then each boundary,
+                # then t_post). stamp1 values are uint32 stored in int32,
+                # so order via the int32 *difference* (exact mod-2^32 for
+                # any pair < 2^31 apart), never a direct signed compare
+                # (wrong once stamps >= 2^31, ~35.8 min of stream).
+                vis = _shifted(snaps[0], ox, oy, 0, halo)
+                for s in snaps[1:] + (t_post,):
+                    sh = _shifted(s, ox, oy, 0, halo)
+                    vis = jnp.where((t_c - sh) >= 0, sh, vis)
                 tch = vis != 0       # stamp1: 0 <=> never written
                 # untouched cells hold the t=0 initializer (raw stamp 0 =
                 # stamp1 value 1); map only the 0 encoding - any other

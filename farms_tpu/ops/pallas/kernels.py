@@ -106,7 +106,7 @@ def _local_vmem_bytes(cfg: FlowConfig, tr: int) -> int:
     """
     R = cfg.support_radius
     bh = tr + _rup8(2 * R)
-    scratch = 2 * bh * (cfg.height + 2 * R) * 4
+    scratch = (1 + cfg.causal_snapshots) * bh * (cfg.height + 2 * R) * 4
     if cfg.filter_size == 3:
         temps = (10 * (2 * R + 1) ** 2 + 170) * tr * cfg.height * 4
     else:
@@ -163,7 +163,7 @@ def aperture_supported(cfg: FlowConfig) -> bool:
 def _local_flow_kernel(off_ref, tq_hbm, tp_hbm,
                        acc_ref, a_ref, b_ref, dtdp_ref, cand_ref,
                        bq_ref, bp_ref, sem,
-                       *, cfg: FlowConfig, tr: int, Ha: int):
+                       *, cfg: FlowConfig, tr: int, Ha: int, S: int = 1):
     """One program computes a `tr`-row band of the sensor (or shard).
 
     The padded surfaces stay in HBM; the program DMAs its
@@ -187,7 +187,7 @@ def _local_flow_kernel(off_ref, tq_hbm, tp_hbm,
     row0 = pl.program_id(0) * tr
     bh = tr + _rup8(2 * R)
 
-    cpq = pltpu.make_async_copy(tq_hbm.at[pl.ds(row0, bh), :], bq_ref,
+    cpq = pltpu.make_async_copy(tq_hbm.at[:, pl.ds(row0, bh), :], bq_ref,
                                 sem.at[0])
     cpp = pltpu.make_async_copy(tp_hbm.at[pl.ds(row0, bh), :], bp_ref,
                                 sem.at[1])
@@ -195,7 +195,7 @@ def _local_flow_kernel(off_ref, tq_hbm, tp_hbm,
     cpp.start()
     cpq.wait()
     cpp.wait()
-    band_q = bq_ref[:]
+    band_qs = [bq_ref[si] for si in range(S)]   # snapshot chain, oldest first
     band_p = bp_ref[:]
 
     t_c = band_p[R:R + tr, R:R + Ha]                   # i32 center stamps
@@ -219,12 +219,14 @@ def _local_flow_kernel(off_ref, tq_hbm, tp_hbm,
             return (zero, (t_c != 0) & (t_c != 1), zero, zero, zero)
         rs = slice(R + ox, R + ox + tr)
         cs = slice(R + oy, R + oy + Ha)
-        tp = band_p[rs, cs]
-        tq = band_q[rs, cs]
-        # order stamp1 (uint32-in-int32) values via the int32 difference,
-        # exact mod-2^32; a direct signed compare breaks past 2^31
-        causal = (t_c - tp) >= 0
-        vis = jnp.where(causal, tp, tq)
+        # newest snapshot value not in the center's future, folded over
+        # the chain (order stamp1 (uint32-in-int32) values via the int32
+        # difference, exact mod-2^32; a direct signed compare breaks
+        # past 2^31)
+        vis = band_qs[0][rs, cs]
+        for sb in band_qs[1:] + [band_p]:
+            v = sb[rs, cs]
+            vis = jnp.where((t_c - v) >= 0, v, vis)
         tch = vis != 0               # stamp1: 0 <=> never written
         # untouched cells hold the t=0 initializer (= stamp1 value 1);
         # map only the 0 encoding - wrapped-negative values are real stamps
@@ -340,6 +342,11 @@ def local_flow_pallas(t_pre, t_post, cfg: FlowConfig, *,
     R = cfg.support_radius
     if halo and halo < R:
         raise ValueError(f"halo {halo} < support_radius {R}")
+    # multi-snapshot causal visibility: t_pre may be a tuple of
+    # intra-batch boundary surfaces (oldest first, ops/dense_flow.py);
+    # they ship to the kernel as one stacked [S, rows, lanes] input
+    snaps = tuple(t_pre) if isinstance(t_pre, (tuple, list)) else (t_pre,)
+    S = len(snaps)
     rows = t_post.shape[0] - 2 * halo    # core rows this call computes
     Ha = t_post.shape[1]                 # array lane extent (>= height)
     tr = _local_tile_rows(cfg)
@@ -359,6 +366,7 @@ def local_flow_pallas(t_pre, t_post, cfg: FlowConfig, *,
         return jnp.pad(a, ((R, T - R - rows), (R, hp - R - Ha)))
 
     off = jnp.asarray([row_offset], dtype=jnp.int32)
+    pre_stack = jnp.stack([prep(a) for a in snaps], axis=0)
     out_shape = [
         jax.ShapeDtypeStruct((rows, Ha), jnp.int32),     # accept
         jax.ShapeDtypeStruct((rows, Ha), jnp.float32),   # a coef
@@ -368,7 +376,7 @@ def local_flow_pallas(t_pre, t_post, cfg: FlowConfig, *,
     ]
     kern_fn = (_local_flow_kernel_cached if cfg.filter_size == 3
                else _local_flow_kernel)
-    kern = functools.partial(kern_fn, cfg=cfg, tr=tr, Ha=Ha)
+    kern = functools.partial(kern_fn, cfg=cfg, tr=tr, Ha=Ha, S=S)
     acc, a_coef, b_coef, dtdp, cand = pl.pallas_call(
         kern,
         grid=(grid,),
@@ -378,12 +386,12 @@ def local_flow_pallas(t_pre, t_post, cfg: FlowConfig, *,
         out_specs=[pl.BlockSpec((tr, Ha), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)] * 5,
         scratch_shapes=[
-            pltpu.VMEM((bh, hp), jnp.int32),
+            pltpu.VMEM((S, bh, hp), jnp.int32),
             pltpu.VMEM((bh, hp), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=_interpret(),
-    )(off, prep(t_pre), prep(t_post))
+    )(off, pre_stack, prep(t_post))
 
     # XLA trig tail - identical to ops/dense_flow.py's
     # (vFlow.cpp:1373-1377 velocity inversion, :315 validity gate)
@@ -404,7 +412,8 @@ def local_flow_pallas(t_pre, t_post, cfg: FlowConfig, *,
 def _local_flow_kernel_cached(off_ref, tq_hbm, tp_hbm,
                               acc_ref, a_ref, b_ref, dtdp_ref, cand_ref,
                               bq_ref, bp_ref, sem,
-                              *, cfg: FlowConfig, tr: int, Ha: int):
+                              *, cfg: FlowConfig, tr: int, Ha: int,
+                              S: int = 1):
     """k=3 variant of _local_flow_kernel with cached per-offset maps.
 
     The general kernel recomputes each support cell's quantities at
@@ -436,7 +445,7 @@ def _local_flow_kernel_cached(off_ref, tq_hbm, tp_hbm,
     row0 = pl.program_id(0) * tr
     bh = tr + _rup8(2 * R)
 
-    cpq = pltpu.make_async_copy(tq_hbm.at[pl.ds(row0, bh), :], bq_ref,
+    cpq = pltpu.make_async_copy(tq_hbm.at[:, pl.ds(row0, bh), :], bq_ref,
                                 sem.at[0])
     cpp = pltpu.make_async_copy(tp_hbm.at[pl.ds(row0, bh), :], bp_ref,
                                 sem.at[1])
@@ -444,7 +453,7 @@ def _local_flow_kernel_cached(off_ref, tq_hbm, tp_hbm,
     cpp.start()
     cpq.wait()
     cpp.wait()
-    band_q = bq_ref[:]
+    band_qs = [bq_ref[si] for si in range(S)]   # snapshot chain, oldest first
     band_p = bp_ref[:]
 
     t_c = band_p[R:R + tr, R:R + Ha]
@@ -468,10 +477,10 @@ def _local_flow_kernel_cached(off_ref, tq_hbm, tp_hbm,
             else:
                 rs = slice(R + ox, R + ox + tr)
                 cs = slice(R + oy, R + oy + Ha)
-                tp = band_p[rs, cs]
-                tq = band_q[rs, cs]
-                causal = (t_c - tp) >= 0
-                vis = jnp.where(causal, tp, tq)
+                vis = band_qs[0][rs, cs]
+                for sb in band_qs[1:] + [band_p]:
+                    v = sb[rs, cs]
+                    vis = jnp.where((t_c - v) >= 0, v, vis)
                 tch = vis != 0
                 vis = jnp.where(vis == 0, 1, vis)
                 d = (t_c - vis).astype(jnp.float32)

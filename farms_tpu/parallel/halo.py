@@ -283,6 +283,11 @@ class HaloFlowEngine(FlowEngine):
                 "the halo engine runs one aperture pass per sub-phase; "
                 "decoupled aperture_sub_phases is a base/micro_step "
                 "engine feature (set it to 0 here)")
+        if cfg.causal_snapshots > 1:
+            raise ValueError(
+                "the halo engine scatters each sub-phase in one shot; "
+                "causal_snapshots > 1 is a base/micro_step engine "
+                "feature (its winner bits are per-snapshot-group)")
         if mesh is None:
             devs = jax.devices()
             if num_devices is not None:

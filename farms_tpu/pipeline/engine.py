@@ -268,13 +268,35 @@ def micro_step(state: SurfaceState, batch, cfg: FlowConfig):
         # derived); scatters are the dominant per-event cost (~7.5 ns
         # each measured), so fewer is faster.
         t_pre = t_surf
+        snaps_mid = []
+        # multi-snapshot causal visibility (cfg.causal_snapshots): the
+        # phase's lanes scatter as S chronological sub-groups - same
+        # total scatter volume, winners host-resolved per sub-group -
+        # keeping each boundary surface; the plane-fit causal view folds
+        # over all of them (ops/dense_flow.py), giving chunk/(P*S)
+        # neighbor-visibility granularity from ONE dense pass
+        S = cfg.causal_snapshots
+        if S > 1 and (mp % S or is_winner is None or not cfg.use_dense):
+            S = 1
         if is_winner is not None:
             win = is_winner[sl]
-            wsx = jnp.where(win, xs, W)
-            t_surf = t_surf.at[wsx, ys].set(t1s, mode="drop",
-                                            unique_indices=True)
-            epoch = epoch.at[wsx, ys].set(ep_val, mode="drop",
-                                          unique_indices=True)
+            if S == 1:
+                wsx = jnp.where(win, xs, W)
+                t_surf = t_surf.at[wsx, ys].set(t1s, mode="drop",
+                                                unique_indices=True)
+                epoch = epoch.at[wsx, ys].set(ep_val, mode="drop",
+                                              unique_indices=True)
+            else:
+                ms = mp // S
+                for si in range(S):
+                    ssl = slice(si * ms, (si + 1) * ms)
+                    wsx = jnp.where(win[ssl], xs[ssl], W)
+                    t_surf = t_surf.at[wsx, ys[ssl]].set(
+                        t1s[ssl], mode="drop", unique_indices=True)
+                    epoch = epoch.at[wsx, ys[ssl]].set(
+                        ep_val, mode="drop", unique_indices=True)
+                    if si < S - 1:
+                        snaps_mid.append(t_surf)
             written = epoch == ep_val
         else:
             # device-side winner resolution (tuple-batch callers): the
@@ -297,12 +319,13 @@ def micro_step(state: SurfaceState, batch, cfg: FlowConfig):
         if cfg.use_dense:
             # ---- dense per-pixel path (ops/dense_flow.py), with the two
             # hot stages optionally fused into Pallas kernels ----
+            pre_arg = (t_pre,) + tuple(snaps_mid) if snaps_mid else t_pre
             if pk_local:
                 vx_map, vy_map, gate_map, len_map, theta_map = (
-                    pallas_kernels.local_flow_pallas(t_pre, t_surf, cfg))
+                    pallas_kernels.local_flow_pallas(pre_arg, t_surf, cfg))
             else:
                 vx_map, vy_map, gate_map, len_map, theta_map = (
-                    dense_local_flow(t_pre, t_surf, cfg))
+                    dense_local_flow(pre_arg, t_surf, cfg))
 
             # flow-surface writes for every pixel written this group
             # (vFlow.cpp:349-356 valid / 398-402 invalid)
@@ -592,7 +615,8 @@ class FlowEngine:
             # None (library absent) falls through to the NumPy path
             nat = nativeio.pack_compact(
                 ev.x, ev.y, ev.t, int(self._t0 or 0), cfg.width, cfg.height,
-                m, n_calls * spc, subphases=cfg.sub_phases)
+                m, n_calls * spc,
+                subphases=cfg.sub_phases * cfg.causal_snapshots)
             if nat is not None:
                 return nat.reshape(n_calls, spc, 2, m), n
 
@@ -612,14 +636,15 @@ class FlowEngine:
         yp = padded(y, 0)
         tp = padded(t, t[-1] if n else 0)
 
-        # host-side winner resolution per sub-phase group (the scatter
-        # granularity, micro_step): the last event at each pixel within a
-        # group wins (vFlow.cpp:264-273). NumPy fancy-index assignment
-        # keeps the last write, giving an O(m) resolution; device scatters
-        # then have unique indices. Padded (invalid) lanes sit at x=y=0;
-        # route them to a sentinel bucket so they cannot steal pixel (0,0)
-        # from a real event.
-        blk = m // cfg.sub_phases
+        # host-side winner resolution per scatter group (the scatter
+        # granularity, micro_step: sub_phases * causal_snapshots groups
+        # per chunk): the last event at each pixel within a group wins
+        # (vFlow.cpp:264-273). NumPy fancy-index assignment keeps the
+        # last write, giving an O(m) resolution; device scatters then
+        # have unique indices. Padded (invalid) lanes sit at x=y=0;
+        # route them to a sentinel bucket so they cannot steal pixel
+        # (0,0) from a real event.
+        blk = m // (cfg.sub_phases * cfg.causal_snapshots)
         flat = xp * np.int64(cfg.height) + yp
         flat[n:] = cfg.width * cfg.height
         flat = flat.reshape(-1, blk)

@@ -137,6 +137,8 @@ def main():
     ap.add_argument("--aperture-phases", nargs="+", type=int, default=[0],
                     help="aperture_sub_phases values to cross in "
                          "(0 = coupled to sub_phases)")
+    ap.add_argument("--snapshots", nargs="+", type=int, default=[1],
+                    help="causal_snapshots values to cross in")
     ap.add_argument("--wire", default="f16",
                     help="wire format for the engine (bench ships f16)")
     ap.add_argument("--out", default="ACCURACY.json")
@@ -158,13 +160,16 @@ def main():
         orc = oracle_cached(ev, cfg0, kind)
         rows = []
         for m in args.chunks:
-            for P in args.phases:
-                for AP in args.aperture_phases:
-                    if m % P or (AP and ((AP % P and P % AP) or m % AP)):
+          for P in args.phases:
+            for AP in args.aperture_phases:
+              for S in args.snapshots:
+                    if m % (P * S) or (AP and ((AP % P and P % AP)
+                                               or m % AP)):
                         continue
                     cfg = FlowConfig(width=320, height=320, chunk_size=m,
                                      steps_per_scan=8, sub_phases=P,
                                      aperture_sub_phases=AP,
+                                     causal_snapshots=S,
                                      wire=args.wire)
                     eng = FlowEngine(cfg)
                     t0 = time.time()
@@ -172,11 +177,12 @@ def main():
                     dt = time.time() - t0
                     row = {"chunk_size": m, "sub_phases": P,
                            "aperture_sub_phases": AP,
+                           "causal_snapshots": S,
                            "span_us_per_chunk": round(m / rate * 1e6),
                            **metrics(got, orc)}
                     rows.append(row)
-                    print(f"[{kind} m={m} P={P} AP={AP}] {json.dumps(row)} "
-                          f"({dt:.0f}s)", flush=True)
+                    print(f"[{kind} m={m} P={P} AP={AP} S={S}] "
+                          f"{json.dumps(row)} ({dt:.0f}s)", flush=True)
         results["streams"][kind] = {"rate_ev_per_s": round(rate), "rows": rows}
 
     out_json = os.path.join(REPO, args.out)

@@ -278,6 +278,58 @@ def test_aperture_sub_phases_semantics(bar_events):
         FlowConfig(chunk_size=256, sub_phases=4, aperture_sub_phases=3)
 
 
+def test_causal_snapshots_semantics(bar_events):
+    """Multi-snapshot causal visibility (FlowConfig.causal_snapshots):
+
+    1. On a chunk where no pixel fires twice, every snapshot of a pixel
+       equals its pre or post value, so S > 1 must be bit-identical to
+       S = 1 (the fold degenerates).
+    2. On a rewrite-heavy stream, S = 4 must agree with the event-serial
+       engine (chunk 1) on at least as many validity rows as S = 1 -
+       intra-chunk rewrites are exactly what snapshots recover.
+    """
+    import pytest
+
+    # 1: distinct pixels per chunk -> exact S-invariance
+    rng = np.random.default_rng(11)
+    m = 64
+    n = 4 * m
+    pix = rng.choice(64 * 64, size=n, replace=False)
+    ev = __import__("farms_tpu.events.io", fromlist=["EventBatch"]).EventBatch(
+        (pix // 64).astype(np.int32), (pix % 64).astype(np.int32),
+        np.sort(rng.integers(1000, 60000, n)).astype(np.uint32),
+        np.ones(n, np.int32))
+    cfg1 = FlowConfig(width=64, height=64, chunk_size=m, causal_snapshots=1)
+    cfg4 = FlowConfig(width=64, height=64, chunk_size=m, causal_snapshots=4)
+    a = FlowEngine(cfg1).process(ev)
+    b = FlowEngine(cfg4).process(ev)
+    for col in ("vx", "vy", "r_true", "r_local", "scale"):
+        np.testing.assert_array_equal(getattr(a, col), getattr(b, col),
+                                      err_msg=f"rewrite-free {col}")
+
+    # 2: rewrite-heavy stream (few pixels, many rewrites per chunk)
+    n2 = 512
+    xs = rng.integers(10, 26, n2).astype(np.int32)
+    ys = rng.integers(10, 26, n2).astype(np.int32)
+    ts = np.sort(rng.integers(1000, 120000, n2)).astype(np.uint32)
+    ev2 = type(ev)(xs, ys, ts, np.ones(n2, np.int32))
+    serial = FlowEngine(FlowConfig(width=64, height=64,
+                                   chunk_size=1)).process(ev2)
+    sv = serial.r_local > 0
+    cfgs1 = FlowConfig(width=64, height=64, chunk_size=256,
+                       causal_snapshots=1)
+    cfgs4 = FlowConfig(width=64, height=64, chunk_size=256,
+                       causal_snapshots=4)
+    m1 = ((FlowEngine(cfgs1).process(ev2).r_local > 0) == sv).sum()
+    m4 = ((FlowEngine(cfgs4).process(ev2).r_local > 0) == sv).sum()
+    assert m4 >= m1, (m4, m1)
+
+    with pytest.raises(ValueError):
+        FlowConfig(chunk_size=256, sub_phases=2, causal_snapshots=3)
+    with pytest.raises(ValueError):
+        FlowConfig(chunk_size=256, causal_snapshots=2, use_dense=False)
+
+
 def test_coarse_aperture_semantics(bar_events):
     """Coarse aperture phasing (aperture_sub_phases a DIVISOR of
     sub_phases): the plane-fit lanes stay bit-identical to the uniform

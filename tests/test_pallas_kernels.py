@@ -156,6 +156,37 @@ def test_local_flow_wraparound_and_untouched():
     _assert_local_equivalent(CFG, t_pre, t_post, "wrap")
 
 
+def test_local_flow_snapshots_match_dense():
+    """Multi-snapshot causal fold: pallas == dense with a 3-surface
+    snapshot chain (oldest, boundary, post)."""
+    rng = np.random.default_rng(9)
+    W, H = CFG.width, CFG.height
+    touched = rng.random((W, H)) < 0.7
+    # a tight stamp range so many centers fall between a neighbor's mid
+    # and post write (the case only the snapshot chain can see)
+    pre = np.where(touched, rng.integers(1, 3_000, (W, H)) + 1, 0)
+    mid = pre.copy()
+    hot = rng.random((W, H)) < 0.5
+    mid[hot] = pre[hot] + rng.integers(200, 2000, (W, H))[hot] \
+        + (pre[hot] == 0)
+    post = mid.copy()
+    hot2 = rng.random((W, H)) < 0.5
+    post[hot2] = mid[hot2] + rng.integers(200, 2000, (W, H))[hot2] \
+        + (mid[hot2] == 0)
+    snaps = (jnp.asarray(pre, jnp.int32), jnp.asarray(mid, jnp.int32))
+    t_post = jnp.asarray(post, jnp.int32)
+    _assert_local_equivalent(CFG, snaps, t_post, "snapshots")
+    # the fold must actually see the intermediate surface: dense with
+    # snapshots differs from dense pre/post-only somewhere
+    ref = dense_local_flow(snaps, t_post, CFG)
+    base = dense_local_flow(snaps[0], t_post, CFG)
+    diff = any(
+        bool((~np.isclose(np.asarray(b, np.float64),
+                          np.asarray(r, np.float64), equal_nan=True)).any())
+        for b, r in zip(base, ref))
+    assert diff, "snapshot chain had no effect on this fixture"
+
+
 def test_local_flow_stamp_shift_invariance():
     """Adding a constant (mod 2^32) to every stamp must not change outputs.
 
@@ -211,6 +242,27 @@ def _both_stages_match(cfg, seed):
     fvx = jnp.asarray(rng.standard_normal((W, H)), jnp.float32) * (fl > 0)
     fvy = jnp.asarray(rng.standard_normal((W, H)), jnp.float32) * (fl > 0)
     _assert_aperture_equivalent(cfg, fl, fvx, fvy, f"apert {W}x{H}")
+
+
+@pytest.mark.slow
+def test_local_flow_k7_pallas_matches_dense():
+    """k=7 on the Pallas path (VERDICT.md r3 item 5): at 320x320 the
+    VMEM gate rejects k=7 (the chip runs the XLA dense path, measured in
+    BENCHMARKS.jsonl config2_1M_fs7), but small sensors DO select the
+    kernel - this pins its equivalence right where `--filtersize 7
+    --backend auto` uses it. Slow: the dense reference unrolls 169
+    offset maps (multi-minute CPU compile)."""
+    cfg = FlowConfig(width=40, height=32, filter_size=7,
+                     min_evts_on_plane=10, chunk_size=32)
+    assert pk.local_flow_supported(cfg), "gate should accept k=7 here"
+    rng = np.random.default_rng(12)
+    W, H = cfg.width, cfg.height
+    touched = rng.random((W, H)) < 0.6
+    t_pre = jnp.asarray(
+        np.where(touched, rng.integers(1, 500_000, (W, H)) + 1, 0),
+        jnp.int32)
+    t_post = t_pre.at[10:30, 8:24].add(1000)
+    _assert_local_equivalent(cfg, t_pre, t_post, "k7")
 
 
 def test_tall_sensor_tr8_band():
