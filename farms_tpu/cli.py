@@ -91,9 +91,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "granularity is chunk-size/sub-phases (ACCURACY.md; "
                         "default: the benchmark preset's 2 on a TPU "
                         "backend, 1 elsewhere)")
-    p.add_argument("--aperture-sub-phases", type=int, default=0,
-                   help="finer phasing for the aperture stage only "
-                        "(0 = coupled to --sub-phases)")
+    p.add_argument("--aperture-sub-phases", type=int, default=None,
+                   help="aperture pooling phases per chunk: a multiple "
+                        "of --sub-phases pools on finer groups, a "
+                        "divisor pools once per sub-phases/A plane-fit "
+                        "groups (the fidelity preset's lever); 0 = "
+                        "coupled (default outside presets)")
+    p.add_argument("--snapshots", type=int, default=None,
+                   help="causal visibility snapshots per sub-phase "
+                        "(FlowConfig.causal_snapshots; the fidelity "
+                        "preset uses 2; default 1 outside presets)")
     p.add_argument("--wire", type=str, default=None,
                    choices=["f32", "f16", "sparse"],
                    help="device->host output precision: f16 = 9 B/event "
@@ -155,17 +162,22 @@ def make_engine(cfg: FlowConfig, engine: str, devices: int):
     return FlowEngine(cfg)
 
 
-# validated (chunk_size, sub_phases, wire) bundles - ACCURACY.md /
-# BENCHMARKS.jsonl document the measured throughput/error rows for each
+# validated (chunk_size, sub_phases, aperture_sub_phases,
+# causal_snapshots, wire) bundles - ACCURACY.md / BENCHMARKS.jsonl
+# document the measured throughput/error rows for each
 _PRESETS = {
-    "benchmark": (131072, 2, "f16"),
-    "fidelity": (131072, 8, "f16"),
-    "exact": (1, 1, "f32"),
+    # highest throughput inside the AEE/angular budget: 57 M ev/s
+    "benchmark": (131072, 2, 0, 1, "f16"),
+    # >= 95% validity agreement vs the event-serial semantics at
+    # 33 M ev/s: plane fit at granularity 16384, pooling at 65536,
+    # visibility snapshots at 8192 (ACCURACY.md round-4 frontier)
+    "fidelity": (131072, 8, 2, 2, "f16"),
+    "exact": (1, 1, 0, 1, "f32"),
 }
 
 
-def _resolve_operating_point(args) -> tuple[int, int, str]:
-    """Fill unset --chunk-size/--sub-phases/--wire from the preset.
+def _resolve_operating_point(args):
+    """Fill unset operating-point flags from the preset.
 
     With no --preset either, the default preset is `benchmark` on a TPU
     backend - so a bare `farms-flow --filename X` on the chip reproduces
@@ -177,16 +189,21 @@ def _resolve_operating_point(args) -> tuple[int, int, str]:
     if preset is None:
         import jax
         preset = "benchmark" if jax.default_backend() == "tpu" else None
-    chunk, phases, wire = _PRESETS.get(preset, (4096, 1, "f32"))
+    chunk, phases, ap, snaps, wire = _PRESETS.get(
+        preset, (4096, 1, 0, 1, "f32"))
     return (args.chunk_size if args.chunk_size is not None else chunk,
             args.sub_phases if args.sub_phases is not None else phases,
+            args.aperture_sub_phases if args.aperture_sub_phases is not None
+            else ap,
+            args.snapshots if args.snapshots is not None else snaps,
             args.wire if args.wire is not None else wire)
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     serial = args.SERIAL == 1
-    chunk_size, sub_phases, wire = _resolve_operating_point(args)
+    chunk_size, sub_phases, ap_phases, snapshots, wire = (
+        _resolve_operating_point(args))
 
     if args.multihost:
         from farms_tpu.parallel.multihost import init_distributed
@@ -207,7 +224,8 @@ def main(argv=None) -> int:
         chunk_size=1 if serial else chunk_size,
         steps_per_scan=args.steps_per_scan,
         sub_phases=1 if serial else sub_phases,
-        aperture_sub_phases=0 if serial else args.aperture_sub_phases,
+        aperture_sub_phases=0 if serial else ap_phases,
+        causal_snapshots=1 if serial else snapshots,
         wire=wire,
         use_dense=use_dense,
         use_pallas=use_pallas,

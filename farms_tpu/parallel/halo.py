@@ -238,8 +238,11 @@ def halo_micro_step(state: SurfaceState, batch, cfg: FlowConfig, n: int):
             tvx_map, tvy_map, scale_map = dense_aperture(
                 flow_len, flow_vx, flow_vy, cfg, halo=A, integ=integ_ext)
 
+        # packed=False: these lanes are combined by psum/psum_scatter
+        # below, and f32 arithmetic on packed f16-pair bit patterns is
+        # not bit-preserving (wire_maps docstring)
         out_maps = wire_maps(gate_map, vx_map, vy_map, tvx_map, tvy_map,
-                             scale_map, cfg)
+                             scale_map, cfg, packed=False)
 
         # ---- per-event gather: owner shard contributes ----
         safe_lx = jnp.clip(lx, 0, rows - 1)

@@ -61,6 +61,11 @@ N_OUT_COLS = 7  # r_true, theta_true, vx, vy, r_local, theta_local, scale
 # layout on an H2D-bound lane).
 _C2_ESCAPES = 16
 
+# sparse-wire payload rider lanes (4 B each) appended to the aux fetch:
+# 64K lanes cover count_p + count_v for ~1 M-event calls at up to ~3%
+# accept+valid fractions, i.e. the benchmark regime rides one round trip
+_SPARSE_RIDER_LANES = 65536
+
 
 def compact2_bits(cfg: FlowConfig) -> tuple[int, int]:
     """(index_bits, delta_bits) of the compact2 word for this sensor."""
@@ -111,15 +116,34 @@ def wire_pack(vx, vy, tvx_g, tvy_g, aux_f, cfg: FlowConfig):
 
 
 def wire_maps(gate_map, vx_map, vy_map, tvx_map, tvy_map, scale_map,
-              cfg: FlowConfig):
-    """Stack the dense per-pixel maps the wire needs: [5, W, H] f32.
+              cfg: FlowConfig, packed: bool | None = None):
+    """Stack the dense per-pixel maps the wire needs.
 
-    Rows: vx, vy, gated true_vx, gated true_vy, aux byte value. NaN/inf
-    scrubbed (non-finite values only arise with min_evts_on_plane <= 0).
+    `packed=False` (or the f32 wire): [5, W, H] f32 - vx, vy, gated
+    true_vx, gated true_vy, aux byte value. NaN/inf scrubbed (non-finite
+    values only arise with min_evts_on_plane <= 0).
+
+    `packed` (default for f16/sparse wires): [3, W, H] - the two f16
+    component pairs packed into i32 AT MAP LEVEL (bitcast to f32 so one
+    take gathers all rows), plus the aux row. Identical wire bytes -
+    the same f16 rounding just happens before the gather instead of
+    after - for 40% less per-event gather volume (the gather is a
+    per-event cost, bench profiling). Callers that COMBINE lanes
+    arithmetically (halo psum) must pass packed=False: f32 math on
+    bitcast pair patterns is not bit-preserving.
     """
+    if packed is None:
+        packed = cfg.wire != "f32"
     aux_f = jnp.where(
         gate_map, 128 + scale_map // cfg.window_jump, 0).astype(jnp.float32)
-    maps = jnp.stack(
+    sc = lambda a: jnp.nan_to_num(a, nan=0.0, posinf=0.0, neginf=0.0)
+    if packed:
+        bcf = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
+        p0 = bcf(_f16_pair(sc(vx_map), sc(vy_map)))
+        p1 = bcf(_f16_pair(sc(jnp.where(gate_map, tvx_map, 0.0)),
+                           sc(jnp.where(gate_map, tvy_map, 0.0))))
+        return jnp.stack([p0, p1, aux_f], axis=0)
+    maps = sc(jnp.stack(
         [
             vx_map,
             vy_map,
@@ -127,8 +151,7 @@ def wire_maps(gate_map, vx_map, vy_map, tvx_map, tvy_map, scale_map,
             jnp.where(gate_map, tvy_map, 0.0),
         ],
         axis=0,
-    )
-    maps = jnp.nan_to_num(maps, nan=0.0, posinf=0.0, neginf=0.0)
+    ))
     return jnp.concatenate([maps, aux_f[None]], axis=0)
 
 
@@ -349,10 +372,22 @@ def micro_step(state: SurfaceState, batch, cfg: FlowConfig):
                 # flow surfaces (strictly closer to the event-serial
                 # reference than uniform A). Per-group plane-fit lanes are
                 # buffered until their pooling pass.
-                loc = onehot_gather(
-                    jnp.stack([vx_map, vy_map,
-                               gate_map.astype(jnp.float32)]),
-                    xs, ys, W, H)
+                sc = lambda a: jnp.nan_to_num(a, nan=0.0, posinf=0.0,
+                                              neginf=0.0)
+                if cfg.wire != "f32":
+                    # packed-gather layout (see wire_maps): local rows =
+                    # [f16 vx/vy pair (as f32 bits), gate]
+                    bcf = lambda a: jax.lax.bitcast_convert_type(
+                        a, jnp.float32)
+                    loc = onehot_gather(
+                        jnp.stack([bcf(_f16_pair(sc(vx_map), sc(vy_map))),
+                                   gate_map.astype(jnp.float32)]),
+                        xs, ys, W, H)
+                else:
+                    loc = onehot_gather(
+                        jnp.stack([sc(vx_map), sc(vy_map),
+                                   gate_map.astype(jnp.float32)]),
+                        xs, ys, W, H)
                 pending.append((xs, ys, loc))
                 if (p + 1) % (P // A_coarse) == 0:
                     if pk_apert:
@@ -362,22 +397,31 @@ def micro_step(state: SurfaceState, batch, cfg: FlowConfig):
                     else:
                         tvx_map, tvy_map, scale_map = dense_aperture(
                             flow_len, flow_vx, flow_vy, cfg)
-                    amaps = jnp.stack([tvx_map, tvy_map,
-                                       scale_map.astype(jnp.float32)])
+                    if cfg.wire != "f32":
+                        amaps = jnp.stack(
+                            [bcf(_f16_pair(sc(tvx_map), sc(tvy_map))),
+                             scale_map.astype(jnp.float32)])
+                    else:
+                        amaps = jnp.stack([sc(tvx_map), sc(tvy_map),
+                                           scale_map.astype(jnp.float32)])
                     for gxs, gys, gloc in pending:
                         tf = onehot_gather(amaps, gxs, gys, W, H)
-                        gate = gloc[2] != 0
-                        # same scrub + gating as wire_maps (scale ids are
-                        # small exact ints in f32)
-                        comps = jnp.nan_to_num(jnp.stack([
-                            gloc[0], gloc[1],
-                            jnp.where(gate, tf[0], 0.0),
-                            jnp.where(gate, tf[1], 0.0)]),
-                            nan=0.0, posinf=0.0, neginf=0.0)
+                        gate = gloc[-1] != 0
                         aux_f = jnp.where(
-                            gate, 128 + tf[2] // cfg.window_jump, 0.0)
-                        lanes_out.append(
-                            jnp.concatenate([comps, aux_f[None]], axis=0))
+                            gate, 128 + tf[-1] // cfg.window_jump, 0.0)
+                        if cfg.wire != "f32":
+                            # zero f32 bits == f16 pair (0, 0): the
+                            # invalid-lane gating stays bit-exact
+                            lanes_out.append(jnp.stack([
+                                gloc[0],
+                                jnp.where(gate, tf[0], 0.0),
+                                aux_f]))
+                        else:
+                            lanes_out.append(jnp.stack([
+                                gloc[0], gloc[1],
+                                jnp.where(gate, tf[0], 0.0),
+                                jnp.where(gate, tf[1], 0.0),
+                                aux_f]))
                     pending = []
                 continue
 
@@ -453,7 +497,15 @@ def micro_step(state: SurfaceState, batch, cfg: FlowConfig):
 
     lanes = (lanes_out[0] if len(lanes_out) == 1
              else jnp.concatenate(lanes_out, axis=1))
-    out = wire_pack(lanes[0], lanes[1], lanes[2], lanes[3], lanes[4], cfg)
+    if cfg.use_dense and cfg.wire != "f32":
+        # packed-gather layout: rows are already the f16 pair words (as
+        # f32 bits) + the aux value - no per-lane packing left to do
+        bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
+        out = (jnp.stack([bc(lanes[0]), bc(lanes[1])], axis=0),
+               lanes[2].astype(jnp.uint8))
+    else:
+        out = wire_pack(lanes[0], lanes[1], lanes[2], lanes[3], lanes[4],
+                        cfg)
     new_state = SurfaceState(t_surf, epoch, flow_len, flow_vx, flow_vy,
                              state.step + 1)
     return new_state, out
@@ -514,19 +566,35 @@ def _sparse_pack_outputs(main, aux):
     auxf = aux.reshape(N)
     present = vx_word != 0
     valid = (auxf & jnp.uint8(0x80)) != 0
-    aux_out = (auxf | jnp.where(present, jnp.uint8(0x40),
-                                jnp.uint8(0))).reshape(steps, m)
+    aux_out = auxf | jnp.where(present, jnp.uint8(0x40), jnp.uint8(0))
     idx_p = jnp.cumsum(present.astype(jnp.int32)) - 1
     idx_v = jnp.cumsum(valid.astype(jnp.int32)) - 1
-    sent = jnp.int32(N)
-    pay_p = jnp.zeros(N, jnp.int32).at[
-        jnp.where(present, idx_p, sent)].set(vx_word, mode="drop",
-                                             unique_indices=True)
-    pay_v = jnp.zeros(N, jnp.int32).at[
-        jnp.where(valid, idx_v, sent)].set(tf_word, mode="drop",
-                                           unique_indices=True)
-    counts = jnp.stack([idx_p[-1] + 1, idx_v[-1] + 1])
-    return aux_out, counts, pay_p, pay_v
+    count_p = idx_p[-1] + 1
+    counts = jnp.stack([count_p, idx_v[-1] + 1])
+    # ONE payload buffer: present-lane vx/vy words first, then (valid is
+    # a subset of present, so count_p + count_v <= 2N) the valid-lane
+    # true words at dynamic offset count_p - the host fetches a single
+    # prefix slice. Every host fetch through the remote tunnel is a
+    # round trip, and the e2e lane is latency-bound, not
+    # bandwidth-bound: v1 of this wire shipped 4 arrays per call and
+    # measured SLOWER than the dense wire (7 MB/s of a ~50 MB/s link).
+    sent = jnp.int32(2 * N)
+    pay = jnp.zeros(2 * N, jnp.int32)
+    pay = pay.at[jnp.where(present, idx_p, sent)].set(
+        vx_word, mode="drop", unique_indices=True)
+    pay = pay.at[jnp.where(valid, idx_v + count_p, sent)].set(
+        tf_word, mode="drop", unique_indices=True)
+    # counts AND a fixed-size payload rider ride the aux buffer: one
+    # fetch delivers everything whenever count_p + count_v fits the
+    # rider (typical for the benchmark's ~3%-valid streams), leaving
+    # ONE round trip per call; high-validity streams pay one bounded
+    # tail fetch. The rider costs 4*R bytes per call regardless of use.
+    R = min(_SPARSE_RIDER_LANES, 2 * N)
+    aux_plus = jnp.concatenate(
+        [aux_out,
+         jax.lax.bitcast_convert_type(counts, jnp.uint8).reshape(8),
+         jax.lax.bitcast_convert_type(pay[:R], jnp.uint8).reshape(4 * R)])
+    return aux_plus, pay
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
@@ -803,11 +871,16 @@ class FlowEngine:
         n = len(ev)
         if n == 0:
             return _empty_output()
+        sparse = self.cfg.wire == "sparse"
         if steps_per_call is None:
+            # sparse-wire calls cost two synchronous tunnel round trips
+            # each (counts-dependent prefix fetch), so they use 4x larger
+            # pipeline units: fewer, bigger calls win on a latency-bound
+            # link
+            unit = self._PIPELINE_EVENTS * (4 if sparse else 1)
             steps_per_call = max(1, min(
                 self.cfg.steps_per_scan,
-                -(-self._PIPELINE_EVENTS // self.cfg.chunk_size)))
-        sparse = self.cfg.wire == "sparse"
+                -(-unit // self.cfg.chunk_size)))
         base_dispatch = type(self)._dispatch is FlowEngine._dispatch
         if sparse and not base_dispatch:
             raise ValueError(
@@ -871,26 +944,39 @@ class FlowEngine:
     # small (~log2(N) entries, cached) at <= 2x overfetch
     _SPARSE_BUCKET_MIN = 4096
 
+    @staticmethod
+    def _bucket_up(k, lo, hi):
+        b = lo
+        while b < k:
+            b *= 2
+        return min(b, hi)
+
     def _fetch_sparse(self, out):
         """Fetch one call's sparse wire block: (aux u8, pay_p, pay_v).
 
-        Fetches the dense aux bytes and the two counts, then transfers
-        only (a bucket-rounded prefix of) each payload's `count` lanes.
+        The remote tunnel charges ~40-70 ms latency per fetch (measured,
+        scripts/_prof_e2e_sparse.py), so the lane is round-trip-bound,
+        not bandwidth-bound: the aux buffer carries the counts AND a
+        fixed payload rider (_sparse_pack_outputs), so the typical call
+        costs ONE fetch; only calls whose payload exceeds the rider pay
+        a bounded tail fetch (its start is the fixed rider size, so the
+        compiled-slice set stays small).
         """
-        aux, counts, pay_p, pay_v = out
-        cnt = np.asarray(counts)
-        a = np.asarray(aux)
-        N = pay_p.shape[0]
-
-        def prefix(pay, k):
-            if k <= 0:
-                return np.zeros(0, np.int32)
-            b = self._SPARSE_BUCKET_MIN
-            while b < k:
-                b *= 2
-            return np.asarray(pay[:min(b, N)])[:k]
-
-        return a, prefix(pay_p, int(cnt[0])), prefix(pay_v, int(cnt[1]))
+        aux_plus, pay = out
+        N2 = pay.shape[0]
+        R = min(_SPARSE_RIDER_LANES, N2)
+        a = np.asarray(aux_plus)
+        rider = a[a.size - 4 * R:].view(np.int32)
+        cp, cv = (int(v) for v in
+                  a[a.size - 4 * R - 8:a.size - 4 * R].view(np.int32))
+        a = a[:a.size - 4 * R - 8]
+        k = cp + cv
+        if k > R:
+            end = self._bucket_up(k, 2 * R, N2)
+            both = np.concatenate([rider, np.asarray(pay[R:end])])[:k]
+        else:
+            both = rider[:k]
+        return a, both[:cp], both[cp:cp + cv]
 
     def _fetch(self, o):
         """Device->host fetch of one output array (subclass hook)."""
