@@ -30,17 +30,77 @@ def iter_file_chunks(path: str, chunk_events: int,
 
 
 def stream_flow(engine: FlowEngine,
-                chunks: Iterable[EventBatch]) -> Iterator[FlowOutput]:
+                chunks: Iterable[EventBatch],
+                prefetch: int = 1,
+                meter=None) -> Iterator[FlowOutput]:
     """Run the engine over a stream of chunks, yielding flow per chunk.
 
     State (time surfaces, flow surfaces, t0) carries across chunks, so the
     concatenated outputs equal a single `process()` call over the whole
     stream when chunk boundaries are micro-batch aligned.
+
+    `prefetch` is the backpressure depth: up to that many source chunks
+    are pulled ahead of the one being processed (a producer thread keeps
+    slow sources - disk, sockets - overlapped with device compute; 0
+    disables the thread). `meter`, if given, is called after every chunk
+    with (events_in_chunk, seconds_for_chunk, events_total,
+    seconds_total) - the streaming analogue of the reference serial
+    mode's running per-phase timing prints (vFlow.cpp:641, 719); pass
+    `print_meter` for a ready-made stderr line.
     """
-    for chunk in chunks:
+    import queue
+    import threading
+    import time
+
+    if prefetch > 0:
+        q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        _END = object()
+
+        def produce():
+            try:
+                for c in chunks:
+                    q.put(c)
+            finally:
+                q.put(_END)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+
+        def pull():
+            while True:
+                c = q.get()
+                if c is _END:
+                    return
+                yield c
+
+        source = pull()
+    else:
+        source = chunks
+
+    n_total = 0
+    t_total = 0.0
+    for chunk in source:
         if len(chunk) == 0:
             continue
-        yield engine.process(chunk)
+        t0 = time.perf_counter()
+        out = engine.process(chunk)
+        dt = time.perf_counter() - t0
+        n_total += len(chunk)
+        t_total += dt
+        if meter is not None:
+            meter(len(chunk), dt, n_total, t_total)
+        yield out
+
+
+def print_meter(n, dt, n_total, t_total):
+    """Running events/sec line for stream_flow's `meter` hook."""
+    import sys
+
+    rate = n / dt if dt > 0 else float("inf")
+    avg = n_total / t_total if t_total > 0 else float("inf")
+    print(f"[stream] {n} events in {dt*1e6:.0f} us "
+          f"({rate:,.0f} ev/s; running avg {avg:,.0f} ev/s over "
+          f"{n_total} events)", file=sys.stderr)
 
 
 def process_file_streaming(engine: FlowEngine, path: str,

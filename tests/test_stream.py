@@ -54,3 +54,35 @@ def test_stream_equals_oneshot_with_phases_and_f16_wire(tmp_path):
     np.testing.assert_array_equal(one.scale, streamed.scale)
     np.testing.assert_allclose(one.r_true, streamed.r_true, rtol=1e-6)
     np.testing.assert_allclose(one.vx, streamed.vx, rtol=1e-6)
+
+
+def test_stream_prefetch_and_meter(tmp_path):
+    """Prefetching producer thread + running events/sec meter: outputs
+    identical to the unprefetched stream; the meter sees every chunk and
+    a monotone running total."""
+    from farms_tpu.events.io import FlowOutput
+
+    ev = synthetic_translating_bar(width=64, height=64, bar_len=16,
+                                   duration_us=25000, jitter_us=15)[:512]
+    cfg = FlowConfig(width=64, height=64, chunk_size=64, steps_per_scan=2)
+
+    def chunks():
+        for s in range(0, 512, 128):
+            yield ev[s:s + 128]
+
+    seen = []
+    outs = list(stream_flow(FlowEngine(cfg), chunks(), prefetch=2,
+                            meter=lambda n, dt, nt, tt: seen.append(
+                                (n, nt))))
+    got = FlowOutput.concatenate(outs)
+    want = FlowEngine(cfg).process(ev)
+    np.testing.assert_allclose(want.r_true, got.r_true, rtol=1e-6)
+    np.testing.assert_array_equal(want.scale, got.scale)
+    sizes = [min(128, len(ev) - s) for s in range(0, len(ev), 128)]
+    assert [n for n, _ in seen] == sizes
+    assert [nt for _, nt in seen] == list(np.cumsum(sizes))
+
+    # prefetch=0: same results, no producer thread
+    outs0 = list(stream_flow(FlowEngine(cfg), chunks(), prefetch=0))
+    got0 = FlowOutput.concatenate(outs0)
+    np.testing.assert_array_equal(got.scale, got0.scale)

@@ -90,6 +90,28 @@ def test_wire_sparse_mostly_invalid_stream():
     np.testing.assert_array_equal(want.scale, out.scale)
 
 
+def test_wire_sparse_tail_fetch_past_rider(monkeypatch):
+    """A payload larger than the fixed rider must take the bounded tail
+    fetch and still decode exactly (engine._fetch_sparse k > R path)."""
+    import farms_tpu.pipeline.engine as eng_mod
+
+    # shrink the rider so a high-validity bar stream overflows it; a
+    # unique chunk size guarantees a fresh trace with the small rider
+    monkeypatch.setattr(eng_mod, "_SPARSE_RIDER_LANES", 32)
+    cfg = FlowConfig(width=128, height=128, chunk_size=320,
+                     steps_per_scan=2, wire="sparse")
+    cfg16 = FlowConfig(width=128, height=128, chunk_size=320,
+                       steps_per_scan=2, wire="f16")
+    ev = synthetic_translating_bar(width=128, height=128, bar_len=40,
+                                   duration_us=60_000, seed=3)
+    out = eng_mod.FlowEngine(cfg).process(ev)
+    want = eng_mod.FlowEngine(cfg16).process(ev)
+    assert (want.r_local > 0).sum() > 32, "fixture must overflow the rider"
+    for col in ("vx", "vy", "r_true", "theta_true", "scale"):
+        np.testing.assert_array_equal(getattr(want, col),
+                                      getattr(out, col), err_msg=col)
+
+
 def test_wire_sparse_rejects_sharded_engines():
     import pytest
 
