@@ -13,8 +13,10 @@ call — rows=5 (x, y, t, lane_valid, winner), the compact rows=2 layout
 rows=1 layout (4 bytes/event, pack2/scan_chunk2; geometry-derived field
 widths, oversized gaps escape-coded exactly) — and one wire-format download
 (i32 [steps, C, m] flow components + u8 [steps, m] validity/scale; 9-17
-bytes/event, see wire_pack; the magnitude/angle columns are derived
-host-side), so throughput is bounded by bandwidth rather than per-array
+bytes/event, see wire_pack, or the validity-sparse "sparse" layout at
+~1 + 4·accept + 4·valid bytes/event with one transport round trip per
+call, see _sparse_pack_outputs; the magnitude/angle columns are derived
+host-side), so throughput is bounded by transport rather than per-array
 dispatch latency. The device-resident path (`process` with the
 default settings uploads everything first, runs every micro-step, then
 downloads once) mirrors the reference's measurement methodology: its timed
