@@ -191,12 +191,27 @@ def _resolve_operating_point(args):
         preset = "benchmark" if jax.default_backend() == "tpu" else None
     chunk, phases, ap, snaps, wire = _PRESETS.get(
         preset, (4096, 1, 0, 1, "f32"))
-    return (args.chunk_size if args.chunk_size is not None else chunk,
-            args.sub_phases if args.sub_phases is not None else phases,
-            args.aperture_sub_phases if args.aperture_sub_phases is not None
-            else ap,
-            args.snapshots if args.snapshots is not None else snaps,
-            args.wire if args.wire is not None else wire)
+    user_p = args.sub_phases is not None
+    user_ap = args.aperture_sub_phases is not None
+    user_s = args.snapshots is not None
+    chunk = args.chunk_size if args.chunk_size is not None else chunk
+    phases = args.sub_phases if user_p else phases
+    ap = args.aperture_sub_phases if user_ap else ap
+    snaps = args.snapshots if user_s else snaps
+    wire = args.wire if args.wire is not None else wire
+    # explicit flags always win; PRESET-sourced members that conflict
+    # with them reset to neutral instead of crashing FlowConfig
+    # validation (e.g. `--chunk-size 1` on a TPU backend must give exact
+    # serial semantics, not "sub_phases 2 must divide chunk_size 1")
+    if chunk % max(1, phases * snaps):
+        if not user_p:
+            phases = 1
+        if not user_s:
+            snaps = 1
+    if ap and not user_ap and (
+            (ap % phases and phases % ap) or chunk % ap):
+        ap = 0
+    return chunk, phases, ap, snaps, wire
 
 
 def main(argv=None) -> int:

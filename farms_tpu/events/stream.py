@@ -54,24 +54,47 @@ def stream_flow(engine: FlowEngine,
 
     if prefetch > 0:
         q: "queue.Queue" = queue.Queue(maxsize=prefetch)
-        _END = object()
+        stop = threading.Event()
+
+        def _put(tag, payload) -> bool:
+            # bounded put that gives up once the consumer is gone, so an
+            # abandoned generator cannot pin the producer thread (and the
+            # buffered chunks + open source) forever
+            while not stop.is_set():
+                try:
+                    q.put((tag, payload), timeout=0.2)
+                    return True
+                except queue.Full:
+                    pass
+            return False
 
         def produce():
+            err = None
             try:
                 for c in chunks:
-                    q.put(c)
-            finally:
-                q.put(_END)
+                    if not _put("chunk", c):
+                        return
+            except BaseException as e:   # noqa: BLE001 - re-raised below
+                err = e
+            # a source error must reach the CONSUMER, not stderr: an
+            # end-of-stream that hides an IOError would return a
+            # truncated output that looks like a complete run
+            _put("end", err)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
 
         def pull():
-            while True:
-                c = q.get()
-                if c is _END:
-                    return
-                yield c
+            try:
+                while True:
+                    tag, payload = q.get()
+                    if tag == "end":
+                        if payload is not None:
+                            raise payload
+                        return
+                    yield payload
+            finally:
+                stop.set()
 
         source = pull()
     else:

@@ -72,11 +72,6 @@ def _rup128(x: int) -> int:
     return -(-x // 128) * 128
 
 
-def _tile_rows(cfg: FlowConfig) -> int:
-    """Row-band height per program: band temporaries must fit VMEM."""
-    return 16 if cfg.height <= 512 else 8
-
-
 def _local_tile_rows(cfg: FlowConfig) -> int:
     """Largest band height whose local-kernel VMEM estimate fits."""
     for tr in (16, 8):

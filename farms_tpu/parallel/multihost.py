@@ -263,7 +263,8 @@ class MultiHostFlowEngine(FlowEngine):
         np.savez(part, **payload)
         multihost_utils.sync_global_devices("farms-dist-write-parts")
 
-        path = base_path + "_FARMSOut_batch.txt"
+        from farms_tpu.events.io import OUTPUT_SUFFIX
+        path = base_path + OUTPUT_SUFFIX
         if jax.process_index() == 0:
             full = {k: np.zeros(n, payload[k].dtype)
                     for k in payload if k != "rows"}

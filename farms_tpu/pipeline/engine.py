@@ -941,11 +941,6 @@ class FlowEngine:
                 blocks = [tuple(f.result() for f in fs) for fs in futs]
         return self._unpack_outputs(blocks, ev, n)
 
-    # prefix-slice fetches compile one tiny device slice per distinct
-    # length; bucketing lengths to powers of two keeps the compile set
-    # small (~log2(N) entries, cached) at <= 2x overfetch
-    _SPARSE_BUCKET_MIN = 4096
-
     @staticmethod
     def _bucket_up(k, lo, hi):
         b = lo

@@ -150,3 +150,30 @@ def test_cli_new_knobs_reachable(tmp_path, capsys):
     assert len(out) == len(ev)
     np.testing.assert_array_equal(out.x, ev.x)
     assert (out.r_true != 0).sum() > 20
+
+
+def test_preset_members_yield_to_explicit_flags(tmp_path):
+    """Explicit flags always win over preset members: `--preset benchmark
+    --chunk-size 1` must give exact serial semantics, not a sub_phases
+    divisibility crash (code-review r4 finding)."""
+    from farms_tpu.cli import _resolve_operating_point
+    from farms_tpu.config import FlowConfig
+
+    p = build_parser()
+    args = p.parse_args(["--filename", "x", "--preset", "benchmark",
+                         "--chunk-size", "1"])
+    chunk, phases, ap, snaps, wire = _resolve_operating_point(args)
+    assert (chunk, phases, ap, snaps) == (1, 1, 0, 1)
+    assert wire == "f16"          # non-conflicting members still apply
+    # FlowConfig must accept the resolved bundle
+    FlowConfig(chunk_size=chunk, sub_phases=phases,
+               aperture_sub_phases=ap, causal_snapshots=snaps, wire=wire)
+
+    # explicit sub-phases conflicting with an explicit chunk still raise
+    args = p.parse_args(["--filename", "x", "--preset", "benchmark",
+                         "--chunk-size", "9", "--sub-phases", "2"])
+    chunk, phases, ap, snaps, wire = _resolve_operating_point(args)
+    import pytest
+    with pytest.raises(ValueError):
+        FlowConfig(chunk_size=chunk, sub_phases=phases,
+                   aperture_sub_phases=ap, causal_snapshots=snaps)

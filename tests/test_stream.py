@@ -86,3 +86,22 @@ def test_stream_prefetch_and_meter(tmp_path):
     outs0 = list(stream_flow(FlowEngine(cfg), chunks(), prefetch=0))
     got0 = FlowOutput.concatenate(outs0)
     np.testing.assert_array_equal(got.scale, got0.scale)
+
+
+def test_stream_prefetch_propagates_source_errors():
+    """A source iterator that raises mid-stream must surface the error to
+    the consumer, not truncate silently (code-review r4 finding)."""
+    import pytest
+
+    cfg = FlowConfig(width=64, height=64, chunk_size=64, steps_per_scan=2)
+    ev = synthetic_translating_bar(width=64, height=64, bar_len=16,
+                                   duration_us=25000, jitter_us=15)[:256]
+
+    def broken():
+        yield ev[:128]
+        raise IOError("disk went away")
+
+    it = stream_flow(FlowEngine(cfg), broken(), prefetch=2)
+    next(it)   # first chunk processes fine
+    with pytest.raises(IOError, match="disk went away"):
+        next(it)
