@@ -169,7 +169,7 @@ _PRESETS = {
     # highest throughput inside the AEE/angular budget: 57 M ev/s
     "benchmark": (131072, 2, 0, 1, "f16"),
     # >= 95% validity agreement vs the event-serial semantics at
-    # 33 M ev/s: plane fit at granularity 16384, pooling at 65536,
+    # 35 M ev/s: plane fit at granularity 16384, pooling at 65536,
     # visibility snapshots at 8192 (ACCURACY.md round-4 frontier)
     "fidelity": (131072, 8, 2, 2, "f16"),
     "exact": (1, 1, 0, 1, "f32"),

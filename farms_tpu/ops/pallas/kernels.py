@@ -102,7 +102,7 @@ def _local_vmem_bytes(cfg: FlowConfig, tr: int) -> int:
     R = cfg.support_radius
     bh = tr + _rup8(2 * R)
     scratch = (1 + cfg.causal_snapshots) * bh * (cfg.height + 2 * R) * 4
-    if cfg.filter_size == 3:
+    if cfg.filter_size in (3, 5):
         temps = (10 * (2 * R + 1) ** 2 + 170) * tr * cfg.height * 4
     else:
         temps = 29 * cfg.filter_size ** 2 * tr * cfg.height * 4
@@ -369,7 +369,7 @@ def local_flow_pallas(t_pre, t_post, cfg: FlowConfig, *,
         jax.ShapeDtypeStruct((rows, Ha), jnp.float32),   # dtdp
         jax.ShapeDtypeStruct((rows, Ha), jnp.int32),     # candidate id
     ]
-    kern_fn = (_local_flow_kernel_cached if cfg.filter_size == 3
+    kern_fn = (_local_flow_kernel_cached if cfg.filter_size in (3, 5)
                else _local_flow_kernel)
     kern = functools.partial(kern_fn, cfg=cfg, tr=tr, Ha=Ha, S=S)
     acc, a_coef, b_coef, dtdp, cand = pl.pallas_call(
