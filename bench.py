@@ -1,9 +1,7 @@
 """Throughput benchmark: prints one JSON line for the driver.
 
 Three lanes, mirroring the reference's own methodology and an honest
-end-to-end number (VERDICT.md round-1 item 6); `fidelity_*` fields add
-the `--preset fidelity` device-lane rate (P=8, A=2, S=2 - 95.3%
-validity agreement vs the event-serial oracle, ACCURACY.md):
+end-to-end number (VERDICT.md round-1 item 6):
 
 - **device lane** (the headline `value`): events start in device HBM and
   outputs land in device HBM — the analog of the reference's timed region
@@ -13,23 +11,29 @@ validity agreement vs the event-serial oracle, ACCURACY.md):
   the stream's timeline (per-call stamp offset), so the surface-state chain
   is a genuine continuation: staleness kills, causal gating, and epoch
   rollover all run in the regime a real stream hits.
+- **fidelity lane** (`fidelity_*`): the `--preset fidelity` operating
+  point's device rate, with `fidelity_validity_agreement` MEASURED
+  IN-RUN: the first timed chunk's wire output is decoded and diffed
+  against the float64 event-serial oracle (pipeline/oracle.py) on the
+  same events (oracle result cached on disk keyed by the stream bytes).
 - **e2e lane** (`e2e_events_per_second`): fresh host events each call —
   includes host packing, H2D upload, dispatch, and D2H output unpack
-  (`FlowEngine.process`). The gap between the two numbers is host pack +
-  PCIe/tunnel transfer cost.
+  (`FlowEngine.process`). Reported as the MEDIAN of several passes with
+  the per-pass spread, plus transport counters (fetches per process
+  call, measured tunnel RTT) so the latency floor is arithmetic:
+  floor ~= bytes/bandwidth + fetches * RTT (VERDICT.md r4 item 3).
 
-Config: 320x320 sensor (BASELINE.json config 2-style: millions of events,
-batched mode) at the *validated* operating point `chunk_size=131072,
-sub_phases=2` — the highest-throughput measured point meeting the
-accuracy budget (AEE < 0.5 px/ms, ang p95 < 5 deg) against the float64
-event-serial oracle at granularity 65536; see ACCURACY.md (which also
-lists the high-fidelity sub_phases=8 point). vs_baseline is measured
-against the driver's north-star per-chip share: 100 M events/s on a
-v5p-16 = 6.25 M events/s per chip (BASELINE.json:5); the reference
-itself publishes no numbers (BASELINE.md).
+Config: 320x320 sensor (BASELINE.json config 2-style) at the validated
+operating points (ACCURACY.md): benchmark preset for the headline,
+fidelity preset for the fidelity lane. vs_baseline is measured against
+the driver's north-star per-chip share: 100 M events/s on a v5p-16 =
+6.25 M events/s per chip (BASELINE.json:5); the reference itself
+publishes no numbers (BASELINE.md).
 """
+import hashlib
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -42,11 +46,80 @@ import jax.numpy as jnp
 
 from farms_tpu.config import FlowConfig
 from farms_tpu.events.io import EventBatch, synthetic_random_events
-from farms_tpu.pipeline.engine import scan_chunk
-from farms_tpu.pipeline.engine import FlowEngine
+from farms_tpu.pipeline.engine import FlowEngine, decode_wire_columns, scan_chunk
 from farms_tpu.state.surfaces import init_state
 
 BASELINE_PER_CHIP = 100e6 / 16  # north-star / v5p-16 chips
+ORACLE_CACHE = os.environ.get("FARMS_ORACLE_CACHE", "/tmp/farms_oracle_cache")
+
+
+def device_batches(eng, cfg, ev, spc, n_calls, span):
+    """Pre-upload n_calls DISTINCT dict-batches continuing one timeline.
+
+    Each call gets freshly seeded events with stamps offset to continue
+    the stream (VERDICT.md r3 item 10: no steady-state artifacts), packed
+    into the dict layout process() ships: compact events + equal-stamp
+    escapes (epoch-less derived-written path) + rank-2 correction lanes
+    when the config asks for them.
+    """
+    n = cfg.chunk_size * spc
+    batches = []
+    evs = []
+    for i in range(n_calls):
+        evi = (ev if i == 0 else
+               synthetic_random_events(n, width=cfg.width, height=cfg.height,
+                                       rate_hz=5e6, seed=i))
+        evi = EventBatch(evi.x, evi.y,
+                         (evi.t.astype(np.int64) + i * int(span))
+                         .astype(np.uint32), evi.pol)
+        evs.append(evi)
+        packed, _ = eng.pack(evi, steps_per_call=spc, compact=True)
+        wesc, ok = eng.pack_wesc(evi, steps_per_call=spc)
+        batch = {"ev": jnp.asarray(packed[0])}
+        if ok[0]:
+            batch["wesc"] = jnp.asarray(wesc[0])
+        if cfg.center_correction:
+            r2 = eng.pack_r2(evi, steps_per_call=spc)
+            batch["r2"] = jnp.asarray(r2[0])
+        batches.append(jax.device_put(batch))
+    return batches, evs
+
+
+def timed_lane(cfg, batches, reps=2):
+    """Best-of-reps wall rate over the pre-uploaded call sequence."""
+    best = 0.0
+    outs = None
+    n = cfg.chunk_size * batches[0]["ev"].shape[0]
+    for _ in range(reps):
+        state = init_state(cfg)
+        float(jnp.sum(state.t_surf))   # fence (tunnel-safe)
+        outs = []
+        t0 = time.perf_counter()
+        for b in batches:
+            state, out = scan_chunk(state, b, cfg)
+            outs.append(out)
+        float(jnp.sum(outs[-1][0]))    # full-buffer reduction = fence
+        dt = time.perf_counter() - t0
+        best = max(best, len(batches) * n / dt)
+    return best, outs
+
+
+def oracle_valid_bits(ev_slice, cfg):
+    """Float64 event-serial oracle validity bits, disk-cached."""
+    key = hashlib.sha1(
+        (repr((cfg.width, cfg.height, cfg.filter_size,
+               cfg.min_evts_on_plane, cfg.max_window, cfg.window_jump,
+               cfg.kill_old_flow_time_us)).encode()
+         + ev_slice.t.tobytes() + ev_slice.x.tobytes())).hexdigest()[:16]
+    path = os.path.join(ORACLE_CACHE, f"bench_valid_{key}.npy")
+    if os.path.exists(path):
+        return np.load(path)
+    from farms_tpu.pipeline.oracle import run_oracle
+    o = run_oracle(ev_slice, cfg)
+    bits = np.asarray(o.r_local) > 0
+    os.makedirs(ORACLE_CACHE, exist_ok=True)
+    np.save(path, bits)
+    return bits
 
 
 def main():
@@ -56,27 +129,26 @@ def main():
     except Exception:
         pass
 
-    # validated operating point (ACCURACY.md): highest-throughput
-    # (chunk, sub_phases) point within the accuracy budget vs the
-    # event-serial oracle (granularity = chunk/phases = 65536)
+    # benchmark preset (ACCURACY.md): highest-throughput point within
+    # the accuracy budget vs the event-serial oracle
     m = int(os.environ.get("FARMS_BENCH_CHUNK", 131072))
     spc = int(os.environ.get("FARMS_BENCH_STEPS", 8))
     n_calls = int(os.environ.get("FARMS_BENCH_CALLS", 16))
     e2e_calls = int(os.environ.get("FARMS_BENCH_E2E_CALLS", 4))
+    e2e_reps = int(os.environ.get("FARMS_BENCH_E2E_REPS", 3))
     n = m * spc  # events per scan call
-    # f16 wire: 9 B/event D2H (both component pairs f16-packed + aux
-    # byte); validated at the operating point by
-    # tests/test_golden.py::test_chunked_accuracy_operating_point[f16]
     wire = os.environ.get("FARMS_BENCH_WIRE", "f16")
     phases = int(os.environ.get("FARMS_BENCH_PHASES", 2))
     aphases = int(os.environ.get("FARMS_BENCH_APHASES", 0))
     backend = os.environ.get("FARMS_BENCH_BACKEND", "auto")
     use_pallas = {"auto": None, "pallas": True, "dense": False}[backend]
     snapshots = int(os.environ.get("FARMS_BENCH_SNAPSHOTS", 1))
+    correction = int(os.environ.get("FARMS_BENCH_CORRECTION", 0))
     cfg = FlowConfig(width=320, height=320, chunk_size=m, use_dense=True,
                      wire=wire, sub_phases=phases,
                      aperture_sub_phases=aphases, use_pallas=use_pallas,
-                     causal_snapshots=snapshots)
+                     causal_snapshots=snapshots,
+                     center_correction=correction)
 
     ev = synthetic_random_events(n, width=320, height=320, rate_hz=5e6,
                                  seed=0)
@@ -84,102 +156,73 @@ def main():
     # call i's stamps continue where call i-1 ended
     span = np.int32(int(ev.t[-1]) + max(1, int(ev.t[-1]) // max(1, n)))
 
-    # ---- device lane -------------------------------------------------------
-    # n_calls chunks of genuinely DISTINCT events (seeded per call, stamps
-    # continuing the shared timeline), so the measured rate cannot benefit
-    # from the compiler or the surfaces reaching a steady state on a
-    # repeated spatial pattern (VERDICT.md r3 item 10)
+    # ---- device lane (benchmark preset) ------------------------------------
     eng = FlowEngine(cfg)
-    chunks = []
-    for i in range(n_calls):
-        evi = (ev if i == 0 else
-               synthetic_random_events(n, width=320, height=320,
-                                       rate_hz=5e6, seed=i))
-        evi = EventBatch(evi.x, evi.y,
-                         (evi.t.astype(np.int64) + i * int(span))
-                         .astype(np.uint32), evi.pol)
-        # pack() latches t0 from call 0 and keeps the one timeline after
-        packed, _ = eng.pack(evi, steps_per_call=spc, compact=True)
-        chunks.append(jax.device_put(jnp.asarray(packed[0])))
-
-    # warmup / compile. NOTE: block_until_ready does not reliably wait
-    # through the remote-execution tunnel; a scalar materialization of the
-    # last output (which depends on the whole state chain) is the fence.
+    batches, _ = device_batches(eng, cfg, ev, spc, n_calls, span)
     state = init_state(cfg)
-    state, out = scan_chunk(state, chunks[0], cfg)
-    checksum = float(jnp.sum(out[0]))
-    for c in chunks:  # materialize every shifted chunk before timing: a
-        # full-buffer reduction (not a one-element fetch) is the fence,
-        # since block_until_ready is unreliable through the remote tunnel
-        checksum += float(jnp.sum(c))
+    state, out = scan_chunk(state, batches[0], cfg)   # warmup / compile
+    float(jnp.sum(out[0]))
+    best, _ = timed_lane(cfg, batches)
 
-    best = 0.0
-    for _ in range(2):
-        state = init_state(cfg)
-        checksum = float(jnp.sum(state.t_surf))
-        outs = []
-        t0 = time.perf_counter()
-        for c in chunks:
-            state, out = scan_chunk(state, c, cfg)
-            outs.append(out)
-        checksum = float(jnp.sum(outs[-1][0]))
-        dt = time.perf_counter() - t0
-        best = max(best, n_calls * n / dt)
-
-    # ---- fidelity lane: the `--preset fidelity` operating point ----------
-    # (chunk 131072, P=8, aperture A=2, snapshots S=2): validity
-    # agreement 95.3% vs the event-serial oracle on the structured
-    # stream / 97.0% on this random stream (ACCURACY.md round-4
-    # frontier). Same device-lane methodology, fewer calls.
+    # ---- fidelity lane: the `--preset fidelity` operating point ------------
+    # device rate + validity agreement vs the float64 oracle, both
+    # measured THIS RUN on THIS stream (VERDICT.md r4 weak-1/item 2)
     fidelity = 0.0
+    agreement = None
     if int(os.environ.get("FARMS_BENCH_FIDELITY", 1)):
         import dataclasses
-        cfg_f = dataclasses.replace(cfg, sub_phases=8,
-                                    aperture_sub_phases=2,
-                                    causal_snapshots=2)
+        f_phases = int(os.environ.get("FARMS_BENCH_F_PHASES", 8))
+        f_aphases = int(os.environ.get("FARMS_BENCH_F_APHASES", 2))
+        f_snaps = int(os.environ.get("FARMS_BENCH_F_SNAPSHOTS", 2))
+        f_corr = int(os.environ.get("FARMS_BENCH_F_CORRECTION", 16384))
+        cfg_f = dataclasses.replace(cfg, sub_phases=f_phases,
+                                    aperture_sub_phases=f_aphases,
+                                    causal_snapshots=f_snaps,
+                                    center_correction=f_corr)
         eng_f = FlowEngine(cfg_f)
-        packs = []
-        for i in range(4):
-            evi = synthetic_random_events(n, width=320, height=320,
-                                          rate_hz=5e6, seed=100 + i)
-            evi = EventBatch(evi.x, evi.y,
-                             (evi.t.astype(np.int64) + i * int(span))
-                             .astype(np.uint32), evi.pol)
-            packed, _ = eng_f.pack(evi, steps_per_call=spc, compact=True)
-            packs.append(jax.device_put(jnp.asarray(packed[0])))
+        ev_f = synthetic_random_events(n, width=320, height=320,
+                                      rate_hz=5e6, seed=100)
+        packs, f_evs = device_batches(eng_f, cfg_f, ev_f, spc, 4, span)
         state = init_state(cfg_f)
-        state, out = scan_chunk(state, packs[0], cfg_f)
-        checksum = float(jnp.sum(out[0]))
-        for _ in range(2):
-            state = init_state(cfg_f)
-            checksum = float(jnp.sum(state.t_surf))
-            outs = []
-            t0 = time.perf_counter()
-            for c in packs:
-                state, out = scan_chunk(state, c, cfg_f)
-                outs.append(out)
-            checksum = float(jnp.sum(outs[-1][0]))
-            dt = time.perf_counter() - t0
-            fidelity = max(fidelity, len(packs) * n / dt)
+        state, out = scan_chunk(state, packs[0], cfg_f)   # warmup
+        float(jnp.sum(out[0]))
+        fidelity, f_outs = timed_lane(cfg_f, packs)
+        # agreement on the first chunk (m events) of the timed stream:
+        # decode the wire rows the run actually produced
+        main0 = np.asarray(f_outs[0][0][0])     # [C, m] step 0
+        aux0 = np.asarray(f_outs[0][1][0])      # [m]
+        cols = decode_wire_columns(main0, aux0, cfg_f)
+        gv = cols["r_local"] > 0
+        e0 = f_evs[0]
+        ev_slice = EventBatch(e0.x[:m], e0.y[:m], e0.t[:m], e0.pol[:m])
+        ov = oracle_valid_bits(ev_slice, cfg_f)
+        agreement = float((gv[:m] == ov).mean())
 
     # ---- e2e lane: fresh host events, pack + H2D + D2H included -----------
-    # the e2e lane defaults to the sparse wire (validity-sparse f16: exact
-    # re-encoding of the f16 wire, tests/test_wire.py) - the lane is
-    # transport-bound and this stream is ~2.4% valid
     e2e_wire = os.environ.get("FARMS_BENCH_E2E_WIRE", "sparse")
     e2e = 0.0
+    e2e_passes = []
     frac_present = frac_valid = 1.0
+    fetches_per_call = rtt_ms = None
     if e2e_calls:
         import dataclasses
         cfg_e2e = (cfg if e2e_wire == wire
                    else dataclasses.replace(cfg, wire=e2e_wire))
         eng2 = FlowEngine(cfg_e2e)
-        # warmup (compile shares the cache with the device lane)
-        eng2.process(EventBatch(ev.x, ev.y, ev.t, ev.pol))
-        # best of two passes: the remote transport's round-trip latency
-        # varies several-fold run to run (scripts/_prof_e2e_sparse.py),
-        # and a single unlucky pass would misrepresent the lane
-        for rep in range(2):
+        # measured tunnel round-trip latency: tiny-fetch probe (the
+        # latency-floor arithmetic's RTT term)
+        tiny = jax.device_put(jnp.zeros(8, jnp.int32))
+        float(np.asarray(tiny)[0])
+        rtts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            np.asarray(tiny + 1)
+            rtts.append(time.perf_counter() - t0)
+        rtt_ms = statistics.median(rtts) * 1e3
+        eng2.process(EventBatch(ev.x, ev.y, ev.t, ev.pol))  # warmup
+        n_proc = 0
+        eng2.fetch_stats = {"fetches": 0, "seconds": 0.0}
+        for rep in range(e2e_reps):
             eng2.reset()
             t0 = time.perf_counter()
             for i in range(e2e_calls):
@@ -188,18 +231,18 @@ def main():
                                   + i * int(span)).astype(np.uint32),
                                  ev.pol)
                 out = eng2.process(evi)
-            checksum = float(np.sum(out.r_true))  # host arrays
+                n_proc += 1
+            float(np.sum(out.r_true))  # host arrays
             dt = time.perf_counter() - t0
-            e2e = max(e2e, e2e_calls * n / dt)
+            e2e_passes.append(e2e_calls * n / dt)
+        e2e = statistics.median(e2e_passes)
+        fetches_per_call = eng2.fetch_stats["fetches"] / max(1, n_proc)
         frac_present = float(np.mean((out.vx != 0) | (out.vy != 0)
                                      | np.isnan(out.vx)))
         frac_valid = float(np.mean(out.r_local != 0))
 
-    # e2e wire context: the remote-execution tunnel sustains ~27 MB/s per
-    # stream / ~50 MB/s on two (scripts/_prof_wire.py), so the e2e lane is
-    # transport-bound; report the achieved wire rate so the bound is
-    # visible next to the number. Upload is 4 B/event when the compact2
-    # delta layout applied to this stream (pack2), else 8
+    # e2e wire context: achieved wire rate + the latency-floor terms.
+    # Upload is 4 B/event when the compact2 delta layout applies (pack2)
     up_bytes = 8
     if e2e_calls:
         probe = FlowEngine(cfg)
@@ -207,13 +250,11 @@ def main():
         if aux2 is not None:
             up_bytes = 4
     if e2e_wire == "sparse":
-        # dense aux byte + f16 pairs only for present/valid lanes
-        # (measured fractions of this stream)
         down_bytes = 1 + 4 * (frac_present + frac_valid)
     else:
         down_bytes = 9 if e2e_wire == "f16" else 17
     wire_bytes = up_bytes + down_bytes
-    print(json.dumps({
+    out = {
         "metric": "events_per_second_single_chip",
         "value": round(best, 1),
         "unit": "events/s",
@@ -223,13 +264,19 @@ def main():
         "e2e_events_per_second": round(e2e, 1),
         "e2e_vs_baseline": round(e2e / BASELINE_PER_CHIP, 3),
         "e2e_wire_MBps": round(e2e * wire_bytes / 1e6, 1),
-        # `--preset fidelity` point (P=8, A=2, S=2): validity agreement
-        # 95.3% structured / 97.0% random vs the event-serial oracle
-        # (ACCURACY.md)
+        "e2e_passes": [round(p, 1) for p in e2e_passes],
         "fidelity_events_per_second": round(fidelity, 1),
         "fidelity_vs_baseline": round(fidelity / BASELINE_PER_CHIP, 3),
-        "fidelity_validity_agreement": 0.953,
-    }))
+    }
+    if agreement is not None:
+        # measured THIS RUN: first timed chunk's decoded validity bits
+        # vs the float64 event-serial oracle on the same events
+        out["fidelity_validity_agreement"] = round(agreement, 4)
+        out["fidelity_agreement_events"] = m
+    if fetches_per_call is not None:
+        out["e2e_fetches_per_process_call"] = round(fetches_per_call, 2)
+        out["e2e_rtt_ms"] = round(rtt_ms, 1)
+    print(json.dumps(out))
     return 0
 
 

@@ -97,6 +97,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "divisor pools once per sub-phases/A plane-fit "
                         "groups (the fidelity preset's lever); 0 = "
                         "coupled (default outside presets)")
+    p.add_argument("--correction", type=int, default=None,
+                   help="center-correction budget: rank-2 lanes re-fit "
+                        "per chunk (FlowConfig.center_correction; 0 = "
+                        "off)")
     p.add_argument("--snapshots", type=int, default=None,
                    help="causal visibility snapshots per sub-phase "
                         "(FlowConfig.causal_snapshots; the fidelity "
@@ -163,16 +167,16 @@ def make_engine(cfg: FlowConfig, engine: str, devices: int):
 
 
 # validated (chunk_size, sub_phases, aperture_sub_phases,
-# causal_snapshots, wire) bundles - ACCURACY.md / BENCHMARKS.jsonl
-# document the measured throughput/error rows for each
+# causal_snapshots, center_correction, wire) bundles - ACCURACY.md /
+# BENCHMARKS.jsonl document the measured throughput/error rows for each
 _PRESETS = {
-    # highest throughput inside the AEE/angular budget: 57 M ev/s
-    "benchmark": (131072, 2, 0, 1, "f16"),
-    # >= 95% validity agreement vs the event-serial semantics at
-    # 35 M ev/s: plane fit at granularity 16384, pooling at 65536,
-    # visibility snapshots at 8192 (ACCURACY.md round-4 frontier)
-    "fidelity": (131072, 8, 2, 2, "f16"),
-    "exact": (1, 1, 0, 1, "f32"),
+    # highest throughput inside the AEE/angular budget
+    "benchmark": (131072, 2, 0, 1, 0, "f16"),
+    # >= 95% validity agreement vs the event-serial semantics: plane fit
+    # at granularity 16384, pooling at 65536, visibility snapshots at
+    # 8192, rank-2 center correction (ACCURACY.md frontier)
+    "fidelity": (131072, 8, 2, 2, 32768, "f16"),
+    "exact": (1, 1, 0, 1, 0, "f32"),
 }
 
 
@@ -189,8 +193,8 @@ def _resolve_operating_point(args):
     if preset is None:
         import jax
         preset = "benchmark" if jax.default_backend() == "tpu" else None
-    chunk, phases, ap, snaps, wire = _PRESETS.get(
-        preset, (4096, 1, 0, 1, "f32"))
+    chunk, phases, ap, snaps, corr, wire = _PRESETS.get(
+        preset, (4096, 1, 0, 1, 0, "f32"))
     user_p = args.sub_phases is not None
     user_ap = args.aperture_sub_phases is not None
     user_s = args.snapshots is not None
@@ -198,6 +202,7 @@ def _resolve_operating_point(args):
     phases = args.sub_phases if user_p else phases
     ap = args.aperture_sub_phases if user_ap else ap
     snaps = args.snapshots if user_s else snaps
+    corr = args.correction if args.correction is not None else corr
     wire = args.wire if args.wire is not None else wire
     # explicit flags always win; PRESET-sourced members that conflict
     # with them reset to neutral instead of crashing FlowConfig
@@ -211,14 +216,24 @@ def _resolve_operating_point(args):
     if ap and not user_ap and (
             (ap % phases and phases % ap) or chunk % ap):
         ap = 0
-    return chunk, phases, ap, snaps, wire
+    return chunk, phases, ap, snaps, corr, wire
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     serial = args.SERIAL == 1
-    chunk_size, sub_phases, ap_phases, snapshots, wire = (
+    chunk_size, sub_phases, ap_phases, snapshots, correction, wire = (
         _resolve_operating_point(args))
+    if args.preset is None and not serial:
+        # the implicit default differs by backend (TPU -> the `benchmark`
+        # preset's chunked f16 semantics; elsewhere a small f32 point), so
+        # say which operating point was resolved (ADVICE.md r4)
+        print(
+            f"[farms-flow] operating point: chunk_size={chunk_size} "
+            f"sub_phases={sub_phases} aperture_sub_phases={ap_phases} "
+            f"snapshots={snapshots} correction={correction} wire={wire} "
+            "(implicit; pin with --preset or explicit flags)",
+            file=sys.stderr)
 
     if args.multihost:
         from farms_tpu.parallel.multihost import init_distributed
@@ -241,6 +256,7 @@ def main(argv=None) -> int:
         sub_phases=1 if serial else sub_phases,
         aperture_sub_phases=0 if serial else ap_phases,
         causal_snapshots=1 if serial else snapshots,
+        center_correction=0 if serial else correction,
         wire=wire,
         use_dense=use_dense,
         use_pallas=use_pallas,

@@ -100,6 +100,24 @@ class FlowConfig:
     #   center attribution:  chunk_size / sub_phases
     causal_snapshots: int = 1
 
+    # Rank-2 center-attribution correction (dense path). Non-final
+    # events - pixels that fire again later in the same plane-fit group -
+    # inherit the group winner's fit (the CENTER ATTRIBUTION term of the
+    # batched error; ACCURACY.md). With center_correction = B > 0 the
+    # host ships up to B "runner-up" lanes per chunk (the second-latest
+    # event at each multiply-written pixel, latest chunk occurrence per
+    # pixel), and the engine runs ONE extra dense plane-fit pass per
+    # chunk whose center surface holds those events' own stamps, with
+    # the causal-visibility fold running over the chunk's FULL
+    # sub-group snapshot chain - so each corrected lane gets a fit
+    # against its own stamp and its own visibility boundary, exactly
+    # what the event-serial reference computes for it (vFlow.cpp:223-414)
+    # up to the usual sub-group granularity. Rank >= 3 lanes (rare at
+    # plane-fit granularity; < 0.6% on the structured stream at 32768)
+    # and lanes past the budget keep inheriting the winner. Cost: one
+    # dense pass + one B-lane scatter per chunk, independent of P.
+    center_correction: int = 0
+
     # --- compute path selection ---
     # dense=True (default): per-pixel stencil formulation (ops/dense_flow.py)
     # - the TPU fast path; per-event random access is limited to the initial
@@ -179,6 +197,14 @@ class FlowConfig:
             raise ValueError(
                 "causal_snapshots > 1 is a dense-path feature (the "
                 "per-event formulation has no snapshot fold)")
+        if self.center_correction:
+            if not self.use_dense:
+                raise ValueError(
+                    "center_correction is a dense-path feature (the "
+                    "per-event formulation already attributes centers "
+                    "exactly)")
+            if self.center_correction < 0:
+                raise ValueError("center_correction must be >= 0")
         if self.wire not in ("f32", "f16", "sparse"):
             raise ValueError(
                 f"wire must be 'f32', 'f16' or 'sparse', got {self.wire}")

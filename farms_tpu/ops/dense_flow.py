@@ -57,7 +57,8 @@ def _shifted(arr, ox, oy, fill, halo: int = 0):
 
 
 def dense_local_flow(t_pre, t_post, cfg: FlowConfig, *,
-                     halo: int = 0, row_offset=0, want_ids: bool = False):
+                     halo: int = 0, row_offset=0, want_ids: bool = False,
+                     t_center=None):
     """Local plane-fit flow for every pixel, against its causal surface view.
 
     `t_pre`/`t_post` are stamp1-encoded surfaces (stamp + 1, 0 = never
@@ -71,6 +72,14 @@ def dense_local_flow(t_pre, t_post, cfg: FlowConfig, *,
     sensor edge, matching the pad fill), outputs cover only the core rows,
     and `row_offset` (possibly traced: the shard's global first row) keeps
     coordinates and border checks global.
+
+    Correction mode (`t_center` given): the per-pixel center stamp comes
+    from `t_center` (stamp1; e.g. the rank-2 "runner-up" surface of
+    FlowConfig.center_correction) instead of t_post, while the causal
+    fold still runs over the snaps + t_post chain - each pixel's fit is
+    evaluated at ITS center's stamp against the newest chain value not
+    in that stamp's future. Pixels with t_center == 0 produce garbage
+    (never gathered by the engine).
 
     Returns per-pixel maps (raw_vx, raw_vy, gate_valid, length, theta).
     """
@@ -88,7 +97,8 @@ def dense_local_flow(t_pre, t_post, cfg: FlowConfig, *,
     rows = t_post.shape[0] - 2 * halo  # core rows this call computes
     Ha = t_post.shape[1]               # array height (>= H when padded)
 
-    t_c = t_post[halo:halo + rows, :] if halo else t_post   # center stamp1
+    t_cs = t_post if t_center is None else t_center
+    t_c = t_cs[halo:halo + rows, :] if halo else t_cs       # center stamp1
     px = jax.lax.broadcasted_iota(jnp.int32, (rows, Ha), 0) + row_offset
     py = jax.lax.broadcasted_iota(jnp.int32, (rows, Ha), 1)
 

@@ -72,10 +72,10 @@ def _rup128(x: int) -> int:
     return -(-x // 128) * 128
 
 
-def _local_tile_rows(cfg: FlowConfig) -> int:
+def _local_tile_rows(cfg: FlowConfig, n_chain: int | None = None) -> int:
     """Largest band height whose local-kernel VMEM estimate fits."""
     for tr in (16, 8):
-        if _local_vmem_bytes(cfg, tr) <= _VMEM_BUDGET:
+        if _local_vmem_bytes(cfg, tr, n_chain) <= _VMEM_BUDGET:
             return tr
     return 8
 
@@ -87,7 +87,8 @@ def _aperture_tile_rows(cfg: FlowConfig) -> int:
     return 8
 
 
-def _local_vmem_bytes(cfg: FlowConfig, tr: int) -> int:
+def _local_vmem_bytes(cfg: FlowConfig, tr: int,
+                      n_chain: int | None = None) -> int:
     """Per-program VMEM estimate for the local-flow kernel.
 
     Scratch: two int32 (band+halo, H+2R) surface slabs. Temporaries:
@@ -101,7 +102,9 @@ def _local_vmem_bytes(cfg: FlowConfig, tr: int) -> int:
     """
     R = cfg.support_radius
     bh = tr + _rup8(2 * R)
-    scratch = (1 + cfg.causal_snapshots) * bh * (cfg.height + 2 * R) * 4
+    if n_chain is None:
+        n_chain = cfg.causal_snapshots
+    scratch = (1 + n_chain) * bh * (cfg.height + 2 * R) * 4
     if cfg.filter_size in (3, 5):
         temps = (10 * (2 * R + 1) ** 2 + 170) * tr * cfg.height * 4
     else:
@@ -158,7 +161,8 @@ def aperture_supported(cfg: FlowConfig) -> bool:
 def _local_flow_kernel(off_ref, tq_hbm, tp_hbm,
                        acc_ref, a_ref, b_ref, dtdp_ref, cand_ref,
                        bq_ref, bp_ref, sem,
-                       *, cfg: FlowConfig, tr: int, Ha: int, S: int = 1):
+                       *, cfg: FlowConfig, tr: int, Ha: int, S: int = 1,
+                       inc_center: bool = True):
     """One program computes a `tr`-row band of the sensor (or shard).
 
     The padded surfaces stay in HBM; the program DMAs its
@@ -217,9 +221,12 @@ def _local_flow_kernel(off_ref, tq_hbm, tp_hbm,
         # newest snapshot value not in the center's future, folded over
         # the chain (order stamp1 (uint32-in-int32) values via the int32
         # difference, exact mod-2^32; a direct signed compare breaks
-        # past 2^31)
-        vis = band_qs[0][rs, cs]
-        for sb in band_qs[1:] + [band_p]:
+        # past 2^31). With a separate center surface (correction mode,
+        # inc_center=False) the stacked chain already ends at t_post and
+        # band_p holds only the centers.
+        chain = band_qs + ([band_p] if inc_center else [])
+        vis = chain[0][rs, cs]
+        for sb in chain[1:]:
             v = sb[rs, cs]
             vis = jnp.where((t_c - v) >= 0, v, vis)
         tch = vis != 0               # stamp1: 0 <=> never written
@@ -323,7 +330,8 @@ def _local_flow_kernel(off_ref, tq_hbm, tp_hbm,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "halo", "want_ids"))
 def local_flow_pallas(t_pre, t_post, cfg: FlowConfig, *,
-                      halo: int = 0, row_offset=0, want_ids: bool = False):
+                      halo: int = 0, row_offset=0, want_ids: bool = False,
+                      t_center=None):
     """Pallas local plane-fit flow; same contract as dense_local_flow
     (stamp1-encoded surfaces, see state/surfaces.py).
 
@@ -339,12 +347,20 @@ def local_flow_pallas(t_pre, t_post, cfg: FlowConfig, *,
         raise ValueError(f"halo {halo} < support_radius {R}")
     # multi-snapshot causal visibility: t_pre may be a tuple of
     # intra-batch boundary surfaces (oldest first, ops/dense_flow.py);
-    # they ship to the kernel as one stacked [S, rows, lanes] input
+    # they ship to the kernel as one stacked [S, rows, lanes] input.
+    # Correction mode (t_center given, see dense_local_flow): the chain
+    # stack additionally carries t_post and the center slot ships the
+    # separate center surface instead.
     snaps = tuple(t_pre) if isinstance(t_pre, (tuple, list)) else (t_pre,)
+    inc_center = t_center is None
+    center = t_post
+    if not inc_center:
+        snaps = snaps + (t_post,)
+        center = t_center
     S = len(snaps)
     rows = t_post.shape[0] - 2 * halo    # core rows this call computes
     Ha = t_post.shape[1]                 # array lane extent (>= height)
-    tr = _local_tile_rows(cfg)
+    tr = _local_tile_rows(cfg, S)
     grid = pl.cdiv(rows, tr)
     bh = tr + _rup8(2 * R)
     # bottom padding covers the stencil halo, the ragged last band, and
@@ -371,7 +387,8 @@ def local_flow_pallas(t_pre, t_post, cfg: FlowConfig, *,
     ]
     kern_fn = (_local_flow_kernel_cached if cfg.filter_size in (3, 5)
                else _local_flow_kernel)
-    kern = functools.partial(kern_fn, cfg=cfg, tr=tr, Ha=Ha, S=S)
+    kern = functools.partial(kern_fn, cfg=cfg, tr=tr, Ha=Ha, S=S,
+                             inc_center=inc_center)
     acc, a_coef, b_coef, dtdp, cand = pl.pallas_call(
         kern,
         grid=(grid,),
@@ -386,7 +403,7 @@ def local_flow_pallas(t_pre, t_post, cfg: FlowConfig, *,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=_interpret(),
-    )(off, pre_stack, prep(t_post))
+    )(off, pre_stack, prep(center))
 
     # XLA trig tail - identical to ops/dense_flow.py's
     # (vFlow.cpp:1373-1377 velocity inversion, :315 validity gate)
@@ -408,7 +425,7 @@ def _local_flow_kernel_cached(off_ref, tq_hbm, tp_hbm,
                               acc_ref, a_ref, b_ref, dtdp_ref, cand_ref,
                               bq_ref, bp_ref, sem,
                               *, cfg: FlowConfig, tr: int, Ha: int,
-                              S: int = 1):
+                              S: int = 1, inc_center: bool = True):
     """k=3 variant of _local_flow_kernel with cached per-offset maps.
 
     The general kernel recomputes each support cell's quantities at
@@ -472,8 +489,9 @@ def _local_flow_kernel_cached(off_ref, tq_hbm, tp_hbm,
             else:
                 rs = slice(R + ox, R + ox + tr)
                 cs = slice(R + oy, R + oy + Ha)
-                vis = band_qs[0][rs, cs]
-                for sb in band_qs[1:] + [band_p]:
+                chain = band_qs + ([band_p] if inc_center else [])
+                vis = chain[0][rs, cs]
+                for sb in chain[1:]:
                     v = sb[rs, cs]
                     vis = jnp.where((t_c - v) >= 0, v, vis)
                 tch = vis != 0

@@ -68,6 +68,16 @@ _C2_ESCAPES = 16
 # accept+valid fractions, i.e. the benchmark regime rides one round trip
 _SPARSE_RIDER_LANES = 65536
 
+# equal-stamp write escapes per (step, phase): with the derived-written
+# path (no epoch scatter) the device detects "pixel written this phase"
+# as t_surf != t_pre, which misses a phase-final write whose stamp equals
+# the pixel's pre-phase value; the host detects those (rare: the same
+# pixel must fire twice in the same microsecond straddling a phase
+# boundary) and ships their phase-local lane indices exactly. A phase
+# with more than _W_ESCAPES of them falls back to the epoch-scatter path
+# for that call.
+_W_ESCAPES = 32
+
 
 def compact2_bits(cfg: FlowConfig) -> tuple[int, int]:
     """(index_bits, delta_bits) of the compact2 word for this sensor."""
@@ -177,6 +187,21 @@ def micro_step(state: SurfaceState, batch, cfg: FlowConfig):
     """
     is_winner = None
     lane_valid = None
+    wesc = None
+    corr_idx = None
+    if isinstance(batch, dict):
+        # dict batch: "ev" = the event payload in any layout below,
+        # "base"/"esc" = the compact2 aux pair, "wesc" = int32 [P, E]
+        # phase-local equal-stamp escape lanes enabling the derived
+        # `written` (no epoch scatter; see _W_ESCAPES), "r2" = int32 [B]
+        # rank-2 lane indices for the center-correction pass
+        # (FlowConfig.center_correction)
+        wesc = batch.get("wesc")
+        corr_idx = batch.get("r2")
+        if "base" in batch:
+            batch = (batch["ev"], batch["base"], batch["esc"])
+        else:
+            batch = batch["ev"]
     if isinstance(batch, (tuple, list)) and len(batch) == 3:
         # compact2 int32 ([1, m] word row, [] step base, [2, E] escape
         # (lane, delta) rows): bits 0..ib-1 flat pixel index
@@ -254,6 +279,13 @@ def micro_step(state: SurfaceState, batch, cfg: FlowConfig):
             pk_local = pk_apert = cfg.use_pallas
 
     lanes_out = []
+    # center-correction bookkeeping: the chunk's full sub-group snapshot
+    # chain (surface after every sub-scatter) and the per-aperture-pass
+    # true-flow tables, consumed by the rank-2 pass after the loop
+    corr = (cfg.center_correction and corr_idx is not None
+            and cfg.use_dense and is_winner is not None)
+    chunk_chain = [t_surf] if corr else None
+    ap_tables = []
     # coarse-aperture decoupling (dense path): with aperture_sub_phases A
     # a DIVISOR of the plane-fit phase count P, pooling runs once per
     # Q = P/A plane-fit groups; `pending` buffers each local group's
@@ -305,12 +337,22 @@ def micro_step(state: SurfaceState, batch, cfg: FlowConfig):
             S = 1
         if is_winner is not None:
             win = is_winner[sl]
+            # derived-written mode (host escapes shipped): the epoch
+            # scatter is skipped entirely - `written` comes from
+            # comparing the phase's pre/post surfaces, with the rare
+            # equal-stamp rewrites patched in exactly from the host's
+            # escape lanes. Saves one full scatter per event (~3.9
+            # ns/event, the dominant per-event cost; see _W_ESCAPES).
+            derive = wesc is not None and cfg.use_dense
             if S == 1:
                 wsx = jnp.where(win, xs, W)
                 t_surf = t_surf.at[wsx, ys].set(t1s, mode="drop",
                                                 unique_indices=True)
-                epoch = epoch.at[wsx, ys].set(ep_val, mode="drop",
-                                              unique_indices=True)
+                if not derive:
+                    epoch = epoch.at[wsx, ys].set(ep_val, mode="drop",
+                                                  unique_indices=True)
+                if corr:
+                    chunk_chain.append(t_surf)
             else:
                 ms = mp // S
                 for si in range(S):
@@ -318,11 +360,24 @@ def micro_step(state: SurfaceState, batch, cfg: FlowConfig):
                     wsx = jnp.where(win[ssl], xs[ssl], W)
                     t_surf = t_surf.at[wsx, ys[ssl]].set(
                         t1s[ssl], mode="drop", unique_indices=True)
-                    epoch = epoch.at[wsx, ys[ssl]].set(
-                        ep_val, mode="drop", unique_indices=True)
+                    if not derive:
+                        epoch = epoch.at[wsx, ys[ssl]].set(
+                            ep_val, mode="drop", unique_indices=True)
                     if si < S - 1:
                         snaps_mid.append(t_surf)
-            written = epoch == ep_val
+                    if corr:
+                        chunk_chain.append(t_surf)
+            if derive:
+                el = wesc[p]                       # [E] phase-local lanes
+                safe_el = jnp.clip(el, 0, mp - 1)
+                # sentinel lanes route to DISTINCT out-of-bounds rows so
+                # the unique_indices promise holds even for dropped slots
+                oob = W + jnp.arange(el.shape[0], dtype=jnp.int32)
+                ex = jnp.where(el < mp, xs[safe_el], oob)
+                written = (t_surf != t_pre).at[ex, ys[safe_el]].set(
+                    True, mode="drop", unique_indices=True)
+            else:
+                written = epoch == ep_val
         else:
             # device-side winner resolution (tuple-batch callers): the
             # winner at each pixel is the *latest lane* (lanes are
@@ -406,6 +461,8 @@ def micro_step(state: SurfaceState, batch, cfg: FlowConfig):
                     else:
                         amaps = jnp.stack([sc(tvx_map), sc(tvy_map),
                                            scale_map.astype(jnp.float32)])
+                    if corr:
+                        ap_tables.append(amaps)
                     for gxs, gys, gloc in pending:
                         tf = onehot_gather(amaps, gxs, gys, W, H)
                         gate = gloc[-1] != 0
@@ -459,6 +516,19 @@ def micro_step(state: SurfaceState, batch, cfg: FlowConfig):
                 else:
                     tvx_map, tvy_map, scale_map = dense_aperture(
                         flow_len, flow_vx, flow_vy, cfg)
+                if corr:
+                    sc_ = lambda a: jnp.nan_to_num(a, nan=0.0, posinf=0.0,
+                                                   neginf=0.0)
+                    if cfg.wire != "f32":
+                        bcf_ = lambda a: jax.lax.bitcast_convert_type(
+                            a, jnp.float32)
+                        ap_tables.append(jnp.stack(
+                            [bcf_(_f16_pair(sc_(tvx_map), sc_(tvy_map))),
+                             scale_map.astype(jnp.float32)]))
+                    else:
+                        ap_tables.append(jnp.stack(
+                            [sc_(tvx_map), sc_(tvy_map),
+                             scale_map.astype(jnp.float32)]))
 
                 maps = wire_maps(gate_map, vx_map, vy_map, tvx_map,
                                  tvy_map, scale_map, cfg)
@@ -499,6 +569,65 @@ def micro_step(state: SurfaceState, batch, cfg: FlowConfig):
 
     lanes = (lanes_out[0] if len(lanes_out) == 1
              else jnp.concatenate(lanes_out, axis=1))
+    if corr:
+        # ---- rank-2 center-attribution correction (one dense pass per
+        # CHUNK; FlowConfig.center_correction). The host-shipped lanes
+        # are the second-latest event per multiply-written pixel (latest
+        # chunk occurrence per pixel, deduped); their own stamps build
+        # the center surface, and the plane fit folds visibility over
+        # the chunk's FULL sub-group chain, so each corrected lane is
+        # evaluated exactly as a finer-grained phase would have - fixing
+        # the dominant term of the batched validity error without
+        # re-running the per-phase passes (VERDICT.md r4 item 1). ----
+        B = corr_idx.shape[0]
+        safe = jnp.clip(corr_idx, 0, m - 1)
+        cmask = corr_idx < m
+        xs2, ys2 = x[safe], y[safe]
+        t1_2 = t[safe] + 1
+        oob = W + jnp.arange(B, dtype=jnp.int32)
+        cx = jnp.where(cmask, xs2, oob)
+        t_c2 = jnp.zeros_like(t_surf).at[cx, ys2].set(
+            t1_2, mode="drop", unique_indices=True)
+        if pk_local:
+            vx2, vy2, gate2, _, _ = pallas_kernels.local_flow_pallas(
+                tuple(chunk_chain[:-1]), chunk_chain[-1], cfg,
+                t_center=t_c2)
+        else:
+            vx2, vy2, gate2, _, _ = dense_local_flow(
+                tuple(chunk_chain[:-1]), chunk_chain[-1], cfg,
+                t_center=t_c2)
+        sc2 = lambda a: jnp.nan_to_num(a, nan=0.0, posinf=0.0, neginf=0.0)
+        bc2 = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
+        if cfg.wire != "f32":
+            loc2 = onehot_gather(
+                jnp.stack([bc2(_f16_pair(sc2(vx2), sc2(vy2))),
+                           gate2.astype(jnp.float32)]), xs2, ys2, W, H)
+        else:
+            loc2 = onehot_gather(
+                jnp.stack([sc2(vx2), sc2(vy2),
+                           gate2.astype(jnp.float32)]), xs2, ys2, W, H)
+        # merged aperture-table gather: each lane reads the true-flow /
+        # scale of ITS OWN aperture pass (tables were stacked per pass)
+        n_ap = len(ap_tables)
+        tbl = jnp.stack(ap_tables, 0)           # [n_ap, Fw, W, H]
+        Fw = tbl.shape[1]
+        flat_tbl = tbl.transpose(1, 0, 2, 3).reshape(Fw, n_ap * W * H)
+        apg = safe // jnp.int32(m // n_ap)
+        tf2 = jnp.take(flat_tbl, apg * jnp.int32(W * H) + xs2 * H + ys2,
+                       axis=1)
+        gate2g = loc2[-1] != 0
+        aux2 = jnp.where(gate2g, 128 + tf2[-1] // cfg.window_jump, 0.0)
+        if cfg.wire != "f32":
+            rows2 = jnp.stack([loc2[0],
+                               jnp.where(gate2g, tf2[0], 0.0), aux2])
+        else:
+            rows2 = jnp.stack([loc2[0], loc2[1],
+                               jnp.where(gate2g, tf2[0], 0.0),
+                               jnp.where(gate2g, tf2[1], 0.0), aux2])
+        lane_oob = m + jnp.arange(B, dtype=jnp.int32)
+        tgt = jnp.where(cmask, safe, lane_oob)
+        lanes = lanes.at[:, tgt].set(rows2, mode="drop",
+                                     unique_indices=True)
     if cfg.use_dense and cfg.wire != "f32":
         # packed-gather layout: rows are already the f16 pair words (as
         # f32 bits) + the aux value - no per-lane packing left to do
@@ -630,10 +759,18 @@ class FlowEngine:
         self.cfg = cfg
         self.state = init_state(cfg)
         self._t0 = None
+        self._last_stamp = None   # host mirror of t_surf for pack_wesc
+        # transport instrumentation (bench: fetches_per_call / RTT-floor
+        # arithmetic, VERDICT.md r4 item 3): device->host fetch count and
+        # wall seconds, updated under a lock by the fetch workers
+        import threading
+        self._fetch_lock = threading.Lock()
+        self.fetch_stats = {"fetches": 0, "seconds": 0.0}
 
     def reset(self):
         self.state = init_state(self.cfg)
         self._t0 = None
+        self._last_stamp = None
 
     def place_state(self, state: SurfaceState) -> SurfaceState:
         """Apply this engine's device/sharding placement to a state pytree.
@@ -751,6 +888,116 @@ class FlowEngine:
         packed[:, :, 4, :] = winner.reshape(n_calls, spc, m)
         return packed, n
 
+    def pack_wesc(self, ev: EventBatch, steps_per_call: int | None = None):
+        """Equal-stamp write escapes for the derived-written device path.
+
+        Returns (wesc int32 [n_calls, spc, P, E] phase-local lane indices
+        with sentinel mp for unused slots, ok bool [n_calls]). A call
+        whose escapes fit ships `wesc` with its batch dict and skips the
+        epoch scatter on device (`written = t_surf != t_pre` patched by
+        these lanes); ok=False calls (a phase overflowed E) must use the
+        epoch-scatter path. Advances the engine's host stamp mirror, so
+        call it exactly once per packed stream, in stream order.
+        """
+        cfg = self.cfg
+        m = cfg.chunk_size
+        P = cfg.sub_phases
+        mp = m // P
+        E = _W_ESCAPES
+        W, H = cfg.width, cfg.height
+        WH = W * H
+        n = len(ev)
+        if self._t0 is None and n:
+            self._t0 = np.uint32(ev.t[0])
+        spc = steps_per_call or cfg.steps_per_scan
+        per_call = m * spc
+        n_calls = max(1, -(-n // per_call))
+        if self._last_stamp is None:
+            # host mirror of the device t_surf (stamp1); a restored
+            # checkpoint re-enters through place_state + this fetch
+            self._last_stamp = np.ascontiguousarray(
+                np.asarray(self.state.t_surf)[:W, :H]).reshape(-1).copy()
+        last = self._last_stamp
+        x = np.clip(ev.x.astype(np.int64), 0, W - 1)
+        y = np.clip(ev.y.astype(np.int64), 0, H - 1)
+        flat = np.full(n_calls * per_call, WH, dtype=np.int64)
+        flat[:n] = x * H + y
+        t1 = np.zeros(n_calls * per_call, dtype=np.int32)
+        t1[:n] = ((ev.t.astype(np.uint32) - self._t0 + np.uint32(1))
+                  ).view(np.int32)
+        flat = flat.reshape(n_calls, spc, P, mp)
+        t1 = t1.reshape(n_calls, spc, P, mp)
+        wesc = np.full((n_calls, spc, P, E), mp, dtype=np.int32)
+        ok = np.ones(n_calls, dtype=bool)
+        lanes = np.arange(mp, dtype=np.int64)
+        seen = np.empty(WH + 1, dtype=np.int64)
+        for c in range(n_calls):
+            for s in range(spc):
+                for p in range(P):
+                    f = flat[c, s, p]
+                    tp = t1[c, s, p]
+                    seen[f] = lanes
+                    final = (seen[f] == lanes) & (f < WH)
+                    ff = f[final]
+                    eq = tp[final] == last[ff]    # vs PRE-phase value
+                    last[ff] = tp[final]
+                    el = lanes[final][eq]
+                    if el.size > E:
+                        ok[c] = False             # keep `last` advancing
+                    else:
+                        wesc[c, s, p, :el.size] = el
+        return wesc, ok
+
+    def pack_r2(self, ev: EventBatch, steps_per_call: int | None = None):
+        """Rank-2 lane indices for the center-correction pass.
+
+        Returns int32 [n_calls, spc, B] step-global lane indices
+        (sentinel m = unused slot), B = cfg.center_correction: per
+        micro-step, the second-latest event at each pixel within its
+        plane-fit group, deduped per (pixel, step) keeping the LATEST
+        occurrence (the device's one center surface per chunk can hold
+        one stamp per pixel) and capped at the latest B.
+        """
+        cfg = self.cfg
+        m = cfg.chunk_size
+        P = cfg.sub_phases
+        mp = m // P
+        B = cfg.center_correction
+        W, H = cfg.width, cfg.height
+        WH = W * H
+        n = len(ev)
+        spc = steps_per_call or cfg.steps_per_scan
+        per_call = m * spc
+        n_calls = max(1, -(-n // per_call))
+        x = np.clip(ev.x.astype(np.int64), 0, W - 1)
+        y = np.clip(ev.y.astype(np.int64), 0, H - 1)
+        flat = np.full(n_calls * per_call, WH, dtype=np.int64)
+        flat[:n] = x * H + y
+        flat = flat.reshape(n_calls * spc, P, mp)
+        out = np.full((n_calls * spc, B), m, dtype=np.int32)
+        lanes_mp = np.arange(mp, dtype=np.int64)
+        seen = np.empty(WH + 1, dtype=np.int64)
+        for s in range(n_calls * spc):
+            cand = []
+            for p in range(P):
+                f = flat[s, p]
+                seen[f] = lanes_mp
+                final = seen[f] == lanes_mp
+                nf = ~final & (f < WH)
+                f2, l2 = f[nf], lanes_mp[nf]
+                if f2.size:
+                    seen[f2] = l2
+                    r2 = seen[f2] == l2     # last among non-final lanes
+                    cand.append((l2[r2] + p * mp, f2[r2]))
+            if cand:
+                c = np.concatenate([a for a, _ in cand])
+                fc = np.concatenate([b for _, b in cand])
+                seen[fc] = np.arange(c.size)
+                keep = seen[fc] == np.arange(c.size)   # latest per pixel
+                c = c[keep][-B:]
+                out[s, :c.size] = c
+        return out.reshape(n_calls, spc, B)
+
     def pack2(self, ev: EventBatch, steps_per_call: int | None = None):
         """Delta-coded 4 B/event repack of the compact layout.
 
@@ -853,6 +1100,9 @@ class FlowEngine:
     # outputs on a small thread pool while the main thread keeps packing
     # and dispatching the next calls.
     _FETCH_THREADS = 3
+    # inline (thread-less) mode: max scan calls dispatched ahead of the
+    # fetch cursor, bounding resident per-call output buffers in HBM
+    _DISPATCH_AHEAD = 4
     # target events per scan call for the streaming pipeline: large chunks
     # split into several in-flight calls so D2H fetches overlap the next
     # call's upload + compute (small chunks already batch steps_per_scan
@@ -897,17 +1147,31 @@ class FlowEngine:
         else:
             packed, n = self.pack(ev, steps_per_call=steps_per_call,
                                   compact=self._compact_ok)
+        # derived-written mode (base dense engines): ship the equal-stamp
+        # escape lanes so micro_step can skip the epoch scatter; calls
+        # whose escapes overflow fall back to the epoch path (w_ok)
+        wesc = w_ok = None
+        if base_dispatch and self.cfg.use_dense:
+            wesc, w_ok = self.pack_wesc(ev, steps_per_call=steps_per_call)
+        r2 = None
+        if base_dispatch and self.cfg.center_correction:
+            r2 = self.pack_r2(ev, steps_per_call=steps_per_call)
 
         def dispatch(c):
-            if aux2 is not None:
-                bases, escapes = aux2
-                fn = scan_chunk2_sparse if sparse else scan_chunk2
-                self.state, out = fn(self.state, jnp.asarray(packed[c]),
-                                     jnp.asarray(bases[c]),
-                                     jnp.asarray(escapes[c]), self.cfg)
-            elif sparse:
-                self.state, out = scan_chunk_sparse(
-                    self.state, jnp.asarray(packed[c]), self.cfg)
+            if base_dispatch:
+                if aux2 is not None:
+                    bases, escapes = aux2
+                    batch = {"ev": jnp.asarray(packed[c]),
+                             "base": jnp.asarray(bases[c]),
+                             "esc": jnp.asarray(escapes[c])}
+                else:
+                    batch = {"ev": jnp.asarray(packed[c])}
+                if wesc is not None and w_ok[c]:
+                    batch["wesc"] = jnp.asarray(wesc[c])
+                if r2 is not None:
+                    batch["r2"] = jnp.asarray(r2[c])
+                fn = scan_chunk_sparse if sparse else scan_chunk
+                self.state, out = fn(self.state, batch, self.cfg)
             else:
                 self.state, out = self._dispatch(jnp.asarray(packed[c]))
             return out
@@ -917,13 +1181,22 @@ class FlowEngine:
             # _fetch may issue collectives, which every process must
             # issue in one global order relative to the scan dispatches
             # - a fetch worker thread interleaves them differently per
-            # process and can deadlock, ADVICE.md r3). Dispatch the full
-            # chunk sequence first (async), then fetch in order.
-            outs = [dispatch(c) for c in range(packed.shape[0])]
-            if sparse:
-                blocks = [self._fetch_sparse(out) for out in outs]
-            else:
-                blocks = [tuple(self._fetch(o) for o in out) for out in outs]
+            # process and can deadlock, ADVICE.md r3). Dispatch runs at
+            # most _DISPATCH_AHEAD calls ahead of the fetch cursor so
+            # only a bounded number of per-call output buffers is ever
+            # resident in HBM (ADVICE.md r4: dispatching the whole
+            # sequence first could OOM large process() calls), while the
+            # single thread keeps the collective order identical across
+            # processes.
+            K = self._DISPATCH_AHEAD
+            outs, blocks = [], []
+            fetch1 = self._fetch_sparse if sparse else (
+                lambda out: tuple(self._fetch(o) for o in out))
+            for c in range(packed.shape[0]):
+                outs.append(dispatch(c))
+                if len(outs) > K:
+                    blocks.append(fetch1(outs.pop(0)))
+            blocks.extend(fetch1(out) for out in outs)
             return self._unpack_outputs(blocks, ev, n)
         from concurrent.futures import ThreadPoolExecutor
 
@@ -959,25 +1232,43 @@ class FlowEngine:
         a bounded tail fetch (its start is the fixed rider size, so the
         compiled-slice set stays small).
         """
+        import time as _time
+        t0 = _time.perf_counter()
         aux_plus, pay = out
         N2 = pay.shape[0]
-        R = min(_SPARSE_RIDER_LANES, N2)
+        # rider size derived from the traced SHAPES, never the module
+        # global: aux_plus = N aux bytes + 8 count bytes + 4R rider bytes
+        # with N = N2 / 2, so a config traced under a different
+        # _SPARSE_RIDER_LANES value still decodes its own layout
+        # (ADVICE.md r4)
+        R = (aux_plus.shape[0] - N2 // 2 - 8) // 4
         a = np.asarray(aux_plus)
         rider = a[a.size - 4 * R:].view(np.int32)
         cp, cv = (int(v) for v in
                   a[a.size - 4 * R - 8:a.size - 4 * R].view(np.int32))
         a = a[:a.size - 4 * R - 8]
         k = cp + cv
+        n_fetch = 1
         if k > R:
             end = self._bucket_up(k, 2 * R, N2)
             both = np.concatenate([rider, np.asarray(pay[R:end])])[:k]
+            n_fetch = 2
         else:
             both = rider[:k]
+        with self._fetch_lock:
+            self.fetch_stats["fetches"] += n_fetch
+            self.fetch_stats["seconds"] += _time.perf_counter() - t0
         return a, both[:cp], both[cp:cp + cv]
 
     def _fetch(self, o):
         """Device->host fetch of one output array (subclass hook)."""
-        return np.asarray(o)
+        import time as _time
+        t0 = _time.perf_counter()
+        out = np.asarray(o)
+        with self._fetch_lock:
+            self.fetch_stats["fetches"] += 1
+            self.fetch_stats["seconds"] += _time.perf_counter() - t0
+        return out
 
     def process_resident(self, ev: EventBatch):
         """Upload the whole stream once and run it as one device program.

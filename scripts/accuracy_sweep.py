@@ -139,6 +139,9 @@ def main():
                          "(0 = coupled to sub_phases)")
     ap.add_argument("--snapshots", nargs="+", type=int, default=[1],
                     help="causal_snapshots values to cross in")
+    ap.add_argument("--correction", nargs="+", type=int, default=[0],
+                    help="center_correction budgets to cross in "
+                         "(0 = off; rank-2 lanes per chunk)")
     ap.add_argument("--wire", default="f16",
                     help="wire format for the engine (bench ships f16)")
     ap.add_argument("--out", default="ACCURACY.json")
@@ -163,6 +166,7 @@ def main():
           for P in args.phases:
             for AP in args.aperture_phases:
               for S in args.snapshots:
+                for C in args.correction:
                     if m % (P * S) or (AP and ((AP % P and P % AP)
                                                or m % AP)):
                         continue
@@ -170,6 +174,7 @@ def main():
                                      steps_per_scan=8, sub_phases=P,
                                      aperture_sub_phases=AP,
                                      causal_snapshots=S,
+                                     center_correction=C,
                                      wire=args.wire)
                     eng = FlowEngine(cfg)
                     t0 = time.time()
@@ -177,11 +182,11 @@ def main():
                     dt = time.time() - t0
                     row = {"chunk_size": m, "sub_phases": P,
                            "aperture_sub_phases": AP,
-                           "causal_snapshots": S,
+                           "causal_snapshots": S, "correction": C,
                            "span_us_per_chunk": round(m / rate * 1e6),
                            **metrics(got, orc)}
                     rows.append(row)
-                    print(f"[{kind} m={m} P={P} AP={AP} S={S}] "
+                    print(f"[{kind} m={m} P={P} AP={AP} S={S} C={C}] "
                           f"{json.dumps(row)} ({dt:.0f}s)", flush=True)
         results["streams"][kind] = {"rate_ev_per_s": round(rate), "rows": rows}
 
