@@ -162,6 +162,23 @@ def halo_micro_step(state: SurfaceState, batch, cfg: FlowConfig, n: int):
     m_total = x.shape[0]
     P = cfg.sub_phases if m_total % cfg.sub_phases == 0 else 1
     mp = m_total // P
+    # causal snapshots (FlowConfig.causal_snapshots): each phase scatters
+    # in S chronological sub-groups; every boundary surface is halo-
+    # exchanged so the plane-fit fold sees the same chain as micro_step's
+    # dense path (one extra R-deep exchange per extra snapshot)
+    S = cfg.causal_snapshots
+    if S > 1 and mp % S:
+        S = 1
+    # coarse aperture phasing (divisor A of P): pooling runs once per
+    # P // A plane-fit groups; per-group plane-fit lanes are buffered
+    # until their pooling pass, and the staleness kill runs at APERTURE
+    # group cadence (load-bearing; see micro_step / ACCURACY.md)
+    A_coarse = 0
+    if cfg.aperture_sub_phases:
+        a = cfg.aperture_sub_phases
+        if a < P and P % a == 0:
+            A_coarse = a
+    pending = []
 
     # Pallas kernels run per shard on the halo-extended bands (the same
     # contract as the dense ops' halo mode); auto mode picks them on real
@@ -188,20 +205,36 @@ def halo_micro_step(state: SurfaceState, batch, cfg: FlowConfig, n: int):
         t1s = ts + 1
         ep_val = state.step * P + p
 
-        # staleness kill at phase start (exact; state/surfaces.py)
-        age = (ts[0] + 1) - t_surf
-        stale = (age >= cfg.kill_old_flow_time_us) | (age < 0)
-        flow_len = jnp.where(stale, 0.0, flow_len)
+        # staleness kill (exact; state/surfaces.py), at aperture-group
+        # cadence when pooling is decoupled coarser (see micro_step)
+        if not A_coarse or p % (P // A_coarse) == 0:
+            age = (ts[0] + 1) - t_surf
+            stale = (age >= cfg.kill_old_flow_time_us) | (age < 0)
+            flow_len = jnp.where(stale, 0.0, flow_len)
 
         # ---- scatter winners that land in this shard's core rows ----
         lx = xs - row0
         in_core = (lx >= 0) & (lx < rows)
-        wsx = jnp.where(is_winner[sl] & in_core, lx, rows)
+        win_core = is_winner[sl] & in_core
         t_pre = t_surf
-        t_surf = t_surf.at[wsx, ys].set(t1s, mode="drop",
-                                        unique_indices=True)
-        epoch = epoch.at[wsx, ys].set(ep_val, mode="drop",
-                                      unique_indices=True)
+        snaps_mid_ext = []
+        if S == 1:
+            wsx = jnp.where(win_core, lx, rows)
+            t_surf = t_surf.at[wsx, ys].set(t1s, mode="drop",
+                                            unique_indices=True)
+            epoch = epoch.at[wsx, ys].set(ep_val, mode="drop",
+                                          unique_indices=True)
+        else:
+            ms = mp // S
+            for si in range(S):
+                ssl = slice(si * ms, (si + 1) * ms)
+                wsx = jnp.where(win_core[ssl], lx[ssl], rows)
+                t_surf = t_surf.at[wsx, ys[ssl]].set(
+                    t1s[ssl], mode="drop", unique_indices=True)
+                epoch = epoch.at[wsx, ys[ssl]].set(
+                    ep_val, mode="drop", unique_indices=True)
+                if si < S - 1:
+                    snaps_mid_ext.append(exchange_halo(t_surf, R, n))
         written = epoch == ep_val
 
         # ---- plane-fit stage on support_radius-extended time surfaces ----
@@ -209,13 +242,15 @@ def halo_micro_step(state: SurfaceState, batch, cfg: FlowConfig, n: int):
                      else exchange_halo(t_pre, R, n))
         t_post_ext = exchange_halo(t_surf, R, n)
         prev_post_ext = t_post_ext
+        pre_arg = ((t_pre_ext,) + tuple(snaps_mid_ext) if snaps_mid_ext
+                   else t_pre_ext)
         if pk_local:
             vx_map, vy_map, gate_map, len_map, theta_map = (
                 pallas_kernels.local_flow_pallas(
-                    t_pre_ext, t_post_ext, cfg, halo=R, row_offset=row0))
+                    pre_arg, t_post_ext, cfg, halo=R, row_offset=row0))
         else:
             vx_map, vy_map, gate_map, len_map, theta_map = dense_local_flow(
-                t_pre_ext, t_post_ext, cfg, halo=R, row_offset=row0)
+                pre_arg, t_post_ext, cfg, halo=R, row_offset=row0)
 
         # flow-surface writes (vFlow.cpp:349-356 valid / 398-402 invalid)
         flow_len = jnp.where(
@@ -224,6 +259,22 @@ def halo_micro_step(state: SurfaceState, batch, cfg: FlowConfig, n: int):
             written, jnp.where(gate_map, vx_map, 0.0), flow_vx)
         flow_vy = jnp.where(
             written, jnp.where(gate_map, vy_map, 0.0), flow_vy)
+
+        safe_lx = jnp.clip(lx, 0, rows - 1)
+        if A_coarse:
+            # buffer this group's plane-fit lanes (scrubbed f32 + gate;
+            # zero off-shard so the final psum stays exact) until the
+            # aperture pass that covers it
+            sc = lambda a: jnp.nan_to_num(a, nan=0.0, posinf=0.0,
+                                          neginf=0.0)
+            loc = onehot_gather(
+                jnp.stack([sc(vx_map), sc(vy_map),
+                           gate_map.astype(jnp.float32)]),
+                safe_lx, ys, rows, cfg.height)
+            loc = jnp.where(in_core[None, :], loc, 0.0)
+            pending.append((safe_lx, ys, in_core, loc))
+            if (p + 1) % (P // A_coarse) != 0:
+                continue
 
         # ---- aperture stage by exchanged integral partials: each shard
         # integrates only its own rows; the band carries global-integral
@@ -238,6 +289,24 @@ def halo_micro_step(state: SurfaceState, batch, cfg: FlowConfig, n: int):
             tvx_map, tvy_map, scale_map = dense_aperture(
                 flow_len, flow_vx, flow_vy, cfg, halo=A, integ=integ_ext)
 
+        if A_coarse:
+            sc = lambda a: jnp.nan_to_num(a, nan=0.0, posinf=0.0,
+                                          neginf=0.0)
+            amaps = jnp.stack([sc(tvx_map), sc(tvy_map),
+                               scale_map.astype(jnp.float32)])
+            for glx, gys, gcore, gloc in pending:
+                tf = onehot_gather(amaps, glx, gys, rows, cfg.height)
+                tf = jnp.where(gcore[None, :], tf, 0.0)
+                gate = gloc[2] != 0
+                aux_f = jnp.where(gate, 128 + tf[2] // cfg.window_jump,
+                                  0.0)
+                lanes_out.append(jnp.stack(
+                    [gloc[0], gloc[1],
+                     jnp.where(gate, tf[0], 0.0),
+                     jnp.where(gate, tf[1], 0.0), aux_f]))
+            pending = []
+            continue
+
         # packed=False: these lanes are combined by psum/psum_scatter
         # below, and f32 arithmetic on packed f16-pair bit patterns is
         # not bit-preserving (wire_maps docstring)
@@ -245,7 +314,6 @@ def halo_micro_step(state: SurfaceState, batch, cfg: FlowConfig, n: int):
                              scale_map, cfg, packed=False)
 
         # ---- per-event gather: owner shard contributes ----
-        safe_lx = jnp.clip(lx, 0, rows - 1)
         lanes = onehot_gather(out_maps, safe_lx, ys, rows, cfg.height)
         lanes_out.append(jnp.where(in_core[None, :], lanes, 0.0))
 
@@ -281,16 +349,16 @@ class HaloFlowEngine(FlowEngine):
         if not cfg.use_dense:
             raise ValueError("halo sharding requires the dense compute path")
         if cfg.aperture_sub_phases and \
-                cfg.aperture_sub_phases != cfg.sub_phases:
+                cfg.aperture_sub_phases > cfg.sub_phases:
             raise ValueError(
-                "the halo engine runs one aperture pass per sub-phase; "
-                "decoupled aperture_sub_phases is a base/micro_step "
-                "engine feature (set it to 0 here)")
-        if cfg.causal_snapshots > 1:
+                "the halo engine supports aperture_sub_phases equal to "
+                "or a divisor of sub_phases (coarse pooling, the "
+                "fidelity-preset shape); FINER aperture phasing is a "
+                "base/micro_step engine feature")
+        if cfg.center_correction:
             raise ValueError(
-                "the halo engine scatters each sub-phase in one shot; "
-                "causal_snapshots > 1 is a base/micro_step engine "
-                "feature (its winner bits are per-snapshot-group)")
+                "center_correction is a base/micro_step engine feature "
+                "(the correction pass is not sharded yet; see ROADMAP)")
         if mesh is None:
             devs = jax.devices()
             if num_devices is not None:
