@@ -79,8 +79,9 @@ def device_batches(eng, cfg, ev, spc, n_calls, span):
         if ok[0]:
             batch["wesc"] = jnp.asarray(wesc[0])
         if cfg.center_correction:
-            r2 = eng.pack_r2(evi, steps_per_call=spc)
-            batch["r2"] = jnp.asarray(r2[0])
+            r2f, r2c = eng.pack_r2(evi, steps_per_call=spc)
+            batch["r2f"] = jnp.asarray(r2f[0])
+            batch["r2c"] = jnp.asarray(r2c[0])
         batches.append(jax.device_put(batch))
     return batches, evs
 

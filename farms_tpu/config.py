@@ -205,6 +205,12 @@ class FlowConfig:
                     "exactly)")
             if self.center_correction < 0:
                 raise ValueError("center_correction must be >= 0")
+            if self.aperture_sub_phases > self.sub_phases:
+                raise ValueError(
+                    "center_correction requires aperture_sub_phases "
+                    "equal to or a divisor of sub_phases (the deferred "
+                    "merged-table lane assembly indexes one aperture "
+                    "table per lane)")
         if self.wire not in ("f32", "f16", "sparse"):
             raise ValueError(
                 f"wire must be 'f32', 'f16' or 'sparse', got {self.wire}")

@@ -196,27 +196,25 @@ def halo_micro_step(state: SurfaceState, batch, cfg: FlowConfig, n: int):
     R = cfg.support_radius
     A = cfg.max_window + 1
     lanes_out = []
-    prev_post_ext = None   # phase p's pre-scatter surface == phase p-1's
-    # post-scatter surface, so its halo band is the PREVIOUS exchange's
-    # result: one t_surf exchange per phase instead of two
+
+    # ---- pass 1: scatters + time-surface band exchanges. The scatter
+    # chain only depends on t_surf, so EVERY phase's band ppermutes are
+    # issued here, before any stencil compute exists in the program -
+    # XLA's latency-hiding scheduler can then run phase p+1's exchanges
+    # concurrently with phase p's plane-fit/aperture compute on real ICI
+    # (VERDICT.md r4 item 5; tests assert the jaxpr ordering). Phase p's
+    # pre-scatter band is phase p-1's post band: one exchange per
+    # scatter group total. ----
+    phases = []
+    t_pre_ext = exchange_halo(t_surf, R, n)
     for p in range(P):
         sl = slice(p * mp, (p + 1) * mp)
         xs, ys, ts = x[sl], y[sl], t[sl]
         t1s = ts + 1
         ep_val = state.step * P + p
-
-        # staleness kill (exact; state/surfaces.py), at aperture-group
-        # cadence when pooling is decoupled coarser (see micro_step)
-        if not A_coarse or p % (P // A_coarse) == 0:
-            age = (ts[0] + 1) - t_surf
-            stale = (age >= cfg.kill_old_flow_time_us) | (age < 0)
-            flow_len = jnp.where(stale, 0.0, flow_len)
-
-        # ---- scatter winners that land in this shard's core rows ----
         lx = xs - row0
         in_core = (lx >= 0) & (lx < rows)
         win_core = is_winner[sl] & in_core
-        t_pre = t_surf
         snaps_mid_ext = []
         if S == 1:
             wsx = jnp.where(win_core, lx, rows)
@@ -236,14 +234,25 @@ def halo_micro_step(state: SurfaceState, batch, cfg: FlowConfig, n: int):
                 if si < S - 1:
                     snaps_mid_ext.append(exchange_halo(t_surf, R, n))
         written = epoch == ep_val
-
-        # ---- plane-fit stage on support_radius-extended time surfaces ----
-        t_pre_ext = (prev_post_ext if prev_post_ext is not None
-                     else exchange_halo(t_pre, R, n))
         t_post_ext = exchange_halo(t_surf, R, n)
-        prev_post_ext = t_post_ext
-        pre_arg = ((t_pre_ext,) + tuple(snaps_mid_ext) if snaps_mid_ext
-                   else t_pre_ext)
+        phases.append((xs, ys, ts, lx, in_core, written,
+                       t_pre_ext, tuple(snaps_mid_ext), t_post_ext))
+        t_pre_ext = t_post_ext
+
+    # ---- pass 2: stencil compute per phase ----
+    for p, (xs, ys, ts, lx, in_core, written,
+            pre0, mids, t_post_ext) in enumerate(phases):
+        # staleness kill (exact; state/surfaces.py), at aperture-group
+        # cadence when pooling is decoupled coarser (see micro_step).
+        # The kill's stamp reference is the phase's PRE-scatter surface -
+        # the core rows of its pre band (pass 1 already scattered every
+        # phase, so t_surf itself is too new here)
+        if not A_coarse or p % (P // A_coarse) == 0:
+            age = (ts[0] + 1) - pre0[R:R + rows]
+            stale = (age >= cfg.kill_old_flow_time_us) | (age < 0)
+            flow_len = jnp.where(stale, 0.0, flow_len)
+
+        pre_arg = (pre0,) + mids if mids else pre0
         if pk_local:
             vx_map, vy_map, gate_map, len_map, theta_map = (
                 pallas_kernels.local_flow_pallas(

@@ -193,11 +193,13 @@ def micro_step(state: SurfaceState, batch, cfg: FlowConfig):
         # dict batch: "ev" = the event payload in any layout below,
         # "base"/"esc" = the compact2 aux pair, "wesc" = int32 [P, E]
         # phase-local equal-stamp escape lanes enabling the derived
-        # `written` (no epoch scatter; see _W_ESCAPES), "r2" = int32 [B]
-        # rank-2 lane indices for the center-correction pass
-        # (FlowConfig.center_correction)
+        # `written` (no epoch scatter; see _W_ESCAPES), "r2f"/"r2c" =
+        # the center-correction pass's host-built rank-2 data (u8 [m]
+        # corrected-lane flags, i32 [W, H] stamp1 center surface;
+        # FlowConfig.center_correction / pack_r2)
         wesc = batch.get("wesc")
-        corr_idx = batch.get("r2")
+        corr_idx = batch.get("r2f")
+        corr_ctr = batch.get("r2c")
         if "base" in batch:
             batch = (batch["ev"], batch["base"], batch["esc"])
         else:
@@ -283,9 +285,11 @@ def micro_step(state: SurfaceState, batch, cfg: FlowConfig):
     # chain (surface after every sub-scatter) and the per-aperture-pass
     # true-flow tables, consumed by the rank-2 pass after the loop
     corr = (cfg.center_correction and corr_idx is not None
+            and corr_ctr is not None
             and cfg.use_dense and is_winner is not None)
     chunk_chain = [t_surf] if corr else None
     ap_tables = []
+    loc_maps = []
     # coarse-aperture decoupling (dense path): with aperture_sub_phases A
     # a DIVISOR of the plane-fit phase count P, pooling runs once per
     # Q = P/A plane-fit groups; `pending` buffers each local group's
@@ -431,21 +435,26 @@ def micro_step(state: SurfaceState, batch, cfg: FlowConfig):
                 # buffered until their pooling pass.
                 sc = lambda a: jnp.nan_to_num(a, nan=0.0, posinf=0.0,
                                               neginf=0.0)
+                bcf = lambda a: jax.lax.bitcast_convert_type(
+                    a, jnp.float32)
                 if cfg.wire != "f32":
                     # packed-gather layout (see wire_maps): local rows =
                     # [f16 vx/vy pair (as f32 bits), gate]
-                    bcf = lambda a: jax.lax.bitcast_convert_type(
-                        a, jnp.float32)
-                    loc = onehot_gather(
-                        jnp.stack([bcf(_f16_pair(sc(vx_map), sc(vy_map))),
-                                   gate_map.astype(jnp.float32)]),
-                        xs, ys, W, H)
+                    loc_stack = jnp.stack(
+                        [bcf(_f16_pair(sc(vx_map), sc(vy_map))),
+                         gate_map.astype(jnp.float32)])
                 else:
-                    loc = onehot_gather(
-                        jnp.stack([sc(vx_map), sc(vy_map),
-                                   gate_map.astype(jnp.float32)]),
-                        xs, ys, W, H)
-                pending.append((xs, ys, loc))
+                    loc_stack = jnp.stack(
+                        [sc(vx_map), sc(vy_map),
+                         gate_map.astype(jnp.float32)])
+                if corr:
+                    # correction mode defers EVERY lane gather to the end
+                    # of the chunk (the merged-table read needs the
+                    # rank-2 pass's maps): keep the per-group map stacks
+                    loc_maps.append(loc_stack)
+                else:
+                    pending.append(
+                        (xs, ys, onehot_gather(loc_stack, xs, ys, W, H)))
                 if (p + 1) % (P // A_coarse) == 0:
                     if pk_apert:
                         tvx_map, tvy_map, scale_map = (
@@ -495,11 +504,12 @@ def micro_step(state: SurfaceState, batch, cfg: FlowConfig):
             # (age >= kill window, or wrapped past 2^30) die.
             k = (max(1, cfg.aperture_sub_phases // P)
                  if cfg.aperture_sub_phases else 1)
-            if mp % k:
+            if mp % k or corr:
                 # same divisibility fallback as the P selection above:
                 # a non-dividing group count would silently drop the
                 # mp - k*(mp//k) trailing lanes from the wire output
-                # (ADVICE.md r3)
+                # (ADVICE.md r3). Correction mode forbids finer-than-P
+                # aperture phasing (config validation), so k is 1 there.
                 k = 1
             mg = mp // k
             for g in range(k):
@@ -517,18 +527,26 @@ def micro_step(state: SurfaceState, batch, cfg: FlowConfig):
                     tvx_map, tvy_map, scale_map = dense_aperture(
                         flow_len, flow_vx, flow_vy, cfg)
                 if corr:
+                    # defer lane gathers to chunk end (merged tables)
                     sc_ = lambda a: jnp.nan_to_num(a, nan=0.0, posinf=0.0,
                                                    neginf=0.0)
+                    bcf_ = lambda a: jax.lax.bitcast_convert_type(
+                        a, jnp.float32)
                     if cfg.wire != "f32":
-                        bcf_ = lambda a: jax.lax.bitcast_convert_type(
-                            a, jnp.float32)
                         ap_tables.append(jnp.stack(
                             [bcf_(_f16_pair(sc_(tvx_map), sc_(tvy_map))),
                              scale_map.astype(jnp.float32)]))
+                        loc_maps.append(jnp.stack(
+                            [bcf_(_f16_pair(sc_(vx_map), sc_(vy_map))),
+                             gate_map.astype(jnp.float32)]))
                     else:
                         ap_tables.append(jnp.stack(
                             [sc_(tvx_map), sc_(tvy_map),
                              scale_map.astype(jnp.float32)]))
+                        loc_maps.append(jnp.stack(
+                            [sc_(vx_map), sc_(vy_map),
+                             gate_map.astype(jnp.float32)]))
+                    continue
 
                 maps = wire_maps(gate_map, vx_map, vy_map, tvx_map,
                                  tvy_map, scale_map, cfg)
@@ -567,9 +585,10 @@ def micro_step(state: SurfaceState, batch, cfg: FlowConfig):
              jnp.where(gate_valid, true_vy, 0.0),
              aux_f], axis=0))
 
-    lanes = (lanes_out[0] if len(lanes_out) == 1
-             else jnp.concatenate(lanes_out, axis=1))
-    if corr:
+    if not corr:
+        lanes = (lanes_out[0] if len(lanes_out) == 1
+                 else jnp.concatenate(lanes_out, axis=1))
+    else:
         # ---- rank-2 center-attribution correction (one dense pass per
         # CHUNK; FlowConfig.center_correction). The host-shipped lanes
         # are the second-latest event per multiply-written pixel (latest
@@ -579,15 +598,9 @@ def micro_step(state: SurfaceState, batch, cfg: FlowConfig):
         # evaluated exactly as a finer-grained phase would have - fixing
         # the dominant term of the batched validity error without
         # re-running the per-phase passes (VERDICT.md r4 item 1). ----
-        B = corr_idx.shape[0]
-        safe = jnp.clip(corr_idx, 0, m - 1)
-        cmask = corr_idx < m
-        xs2, ys2 = x[safe], y[safe]
-        t1_2 = t[safe] + 1
-        oob = W + jnp.arange(B, dtype=jnp.int32)
-        cx = jnp.where(cmask, xs2, oob)
-        t_c2 = jnp.zeros_like(t_surf).at[cx, ys2].set(
-            t1_2, mode="drop", unique_indices=True)
+        # the center surface arrives host-built (pack_r2): zero device
+        # prep work at all for the rank-2 data
+        t_c2 = corr_ctr
         if pk_local:
             vx2, vy2, gate2, _, _ = pallas_kernels.local_flow_pallas(
                 tuple(chunk_chain[:-1]), chunk_chain[-1], cfg,
@@ -599,35 +612,49 @@ def micro_step(state: SurfaceState, batch, cfg: FlowConfig):
         sc2 = lambda a: jnp.nan_to_num(a, nan=0.0, posinf=0.0, neginf=0.0)
         bc2 = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
         if cfg.wire != "f32":
-            loc2 = onehot_gather(
-                jnp.stack([bc2(_f16_pair(sc2(vx2), sc2(vy2))),
-                           gate2.astype(jnp.float32)]), xs2, ys2, W, H)
+            loc_maps.append(jnp.stack(
+                [bc2(_f16_pair(sc2(vx2), sc2(vy2))),
+                 gate2.astype(jnp.float32)]))
         else:
-            loc2 = onehot_gather(
-                jnp.stack([sc2(vx2), sc2(vy2),
-                           gate2.astype(jnp.float32)]), xs2, ys2, W, H)
-        # merged aperture-table gather: each lane reads the true-flow /
-        # scale of ITS OWN aperture pass (tables were stacked per pass)
+            loc_maps.append(jnp.stack(
+                [sc2(vx2), sc2(vy2), gate2.astype(jnp.float32)]))
+        # ---- single merged-table lane assembly. Each lane reads its
+        # LOCAL rows from its own plane-fit group's map stack - or the
+        # correction pass's stack when its lane was corrected (a dense
+        # per-lane flag built from the compacted indices) - and its
+        # TRUE rows from its own aperture pass's table. One flat take
+        # per table set, the same gather volume as the uncorrected
+        # path: the correction's only per-lane cost is the flag scatter
+        # and the index arithmetic (the scatter-override formulation
+        # this replaces cost ~60 ns per corrected lane in B-lane
+        # gathers/scatters - measured round-5 bisect). ----
+        WH = W * H
+        pix = x * H + y
+        lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)[0]
+        cflag = corr_idx != 0                   # host-shipped dense flags
+        n_loc = len(loc_maps)                   # P group stacks + pass2
+        grp = lane_ids // jnp.int32(mp)
+        idx_loc = (jnp.where(cflag, n_loc - 1, grp) * jnp.int32(WH)
+                   + pix)
+        Fl = loc_maps[0].shape[0]
+        loc_tbl = jnp.concatenate(
+            [a.reshape(Fl, WH) for a in loc_maps], axis=1)
+        loc_l = jnp.take(loc_tbl, idx_loc, axis=1)
         n_ap = len(ap_tables)
-        tbl = jnp.stack(ap_tables, 0)           # [n_ap, Fw, W, H]
-        Fw = tbl.shape[1]
-        flat_tbl = tbl.transpose(1, 0, 2, 3).reshape(Fw, n_ap * W * H)
-        apg = safe // jnp.int32(m // n_ap)
-        tf2 = jnp.take(flat_tbl, apg * jnp.int32(W * H) + xs2 * H + ys2,
-                       axis=1)
-        gate2g = loc2[-1] != 0
-        aux2 = jnp.where(gate2g, 128 + tf2[-1] // cfg.window_jump, 0.0)
+        apg = lane_ids // jnp.int32(m // n_ap)
+        Fw = ap_tables[0].shape[0]
+        ap_tbl = jnp.concatenate(
+            [a.reshape(Fw, WH) for a in ap_tables], axis=1)
+        tf = jnp.take(ap_tbl, apg * jnp.int32(WH) + pix, axis=1)
+        gate = loc_l[-1] != 0
+        aux_f = jnp.where(gate, 128 + tf[-1] // cfg.window_jump, 0.0)
         if cfg.wire != "f32":
-            rows2 = jnp.stack([loc2[0],
-                               jnp.where(gate2g, tf2[0], 0.0), aux2])
+            lanes = jnp.stack([loc_l[0],
+                               jnp.where(gate, tf[0], 0.0), aux_f])
         else:
-            rows2 = jnp.stack([loc2[0], loc2[1],
-                               jnp.where(gate2g, tf2[0], 0.0),
-                               jnp.where(gate2g, tf2[1], 0.0), aux2])
-        lane_oob = m + jnp.arange(B, dtype=jnp.int32)
-        tgt = jnp.where(cmask, safe, lane_oob)
-        lanes = lanes.at[:, tgt].set(rows2, mode="drop",
-                                     unique_indices=True)
+            lanes = jnp.stack([loc_l[0], loc_l[1],
+                               jnp.where(gate, tf[0], 0.0),
+                               jnp.where(gate, tf[1], 0.0), aux_f])
     if cfg.use_dense and cfg.wire != "f32":
         # packed-gather layout: rows are already the f16 pair words (as
         # f32 bits) + the aux value - no per-lane packing left to do
@@ -949,14 +976,19 @@ class FlowEngine:
         return wesc, ok
 
     def pack_r2(self, ev: EventBatch, steps_per_call: int | None = None):
-        """Rank-2 lane indices for the center-correction pass.
+        """Rank-2 lane data for the center-correction pass, pre-gathered.
 
-        Returns int32 [n_calls, spc, B] step-global lane indices
-        (sentinel m = unused slot), B = cfg.center_correction: per
-        micro-step, the second-latest event at each pixel within its
-        plane-fit group, deduped per (pixel, step) keeping the LATEST
-        occurrence (the device's one center surface per chunk can hold
-        one stamp per pixel) and capped at the latest B.
+        Returns (flags u8 [n_calls, spc, m], centers i32 [n_calls, spc,
+        W, H]) with B = cfg.center_correction: per micro-step, the
+        second-latest event at each pixel within its plane-fit group,
+        deduped per (pixel, step) keeping the LATEST occurrence (one
+        center surface per chunk holds one stamp per pixel) and capped
+        at the latest B. `flags` marks the corrected lanes (the
+        merged-table assembly's per-lane table select); `centers` IS the
+        chunk's stamp1 center surface, built host-side so the device
+        spends no per-lane gather/scatter work at all on the rank-2 data
+        (the on-device index formulation measured ~0.9 ms per
+        131072-chunk; the map costs WH*4 B of pre-uploaded H2D instead).
         """
         cfg = self.cfg
         m = cfg.chunk_size
@@ -966,6 +998,8 @@ class FlowEngine:
         W, H = cfg.width, cfg.height
         WH = W * H
         n = len(ev)
+        if self._t0 is None and n:
+            self._t0 = np.uint32(ev.t[0])
         spc = steps_per_call or cfg.steps_per_scan
         per_call = m * spc
         n_calls = max(1, -(-n // per_call))
@@ -973,8 +1007,13 @@ class FlowEngine:
         y = np.clip(ev.y.astype(np.int64), 0, H - 1)
         flat = np.full(n_calls * per_call, WH, dtype=np.int64)
         flat[:n] = x * H + y
+        t1 = np.zeros(n_calls * per_call, dtype=np.int32)
+        t1[:n] = ((ev.t.astype(np.uint32) - self._t0 + np.uint32(1))
+                  ).view(np.int32)
         flat = flat.reshape(n_calls * spc, P, mp)
-        out = np.full((n_calls * spc, B), m, dtype=np.int32)
+        t1 = t1.reshape(n_calls * spc, P * mp)
+        flags = np.zeros((n_calls * spc, m), dtype=np.uint8)
+        centers = np.zeros((n_calls * spc, WH), dtype=np.int32)
         lanes_mp = np.arange(mp, dtype=np.int64)
         seen = np.empty(WH + 1, dtype=np.int64)
         for s in range(n_calls * spc):
@@ -995,8 +1034,11 @@ class FlowEngine:
                 seen[fc] = np.arange(c.size)
                 keep = seen[fc] == np.arange(c.size)   # latest per pixel
                 c = c[keep][-B:]
-                out[s, :c.size] = c
-        return out.reshape(n_calls, spc, B)
+                fc = fc[keep][-B:]
+                flags[s, c] = 1
+                centers[s, fc] = t1[s, c]
+        return (flags.reshape(n_calls, spc, m),
+                centers.reshape(n_calls, spc, W, H))
 
     def pack2(self, ev: EventBatch, steps_per_call: int | None = None):
         """Delta-coded 4 B/event repack of the compact layout.
@@ -1169,7 +1211,8 @@ class FlowEngine:
                 if wesc is not None and w_ok[c]:
                     batch["wesc"] = jnp.asarray(wesc[c])
                 if r2 is not None:
-                    batch["r2"] = jnp.asarray(r2[c])
+                    batch["r2f"] = jnp.asarray(r2[0][c])
+                    batch["r2c"] = jnp.asarray(r2[1][c])
                 fn = scan_chunk_sparse if sparse else scan_chunk
                 self.state, out = fn(self.state, batch, self.cfg)
             else:

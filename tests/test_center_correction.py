@@ -53,9 +53,13 @@ def test_pack_r2_identifies_rank2():
     cfg = FlowConfig(width=16, height=16, chunk_size=8, sub_phases=2,
                      steps_per_scan=1, wire="f32", center_correction=4)
     eng = FlowEngine(cfg)
-    r2 = eng.pack_r2(ev, steps_per_call=1)
-    got = sorted(int(v) for v in r2[0, 0] if v < 8)
+    flags, centers = eng.pack_r2(ev, steps_per_call=1)
+    got = sorted(np.nonzero(flags[0, 0])[0].tolist())
     assert got == [4, 5]
+    # the host-built center surface holds the two rank-2 stamp1 values
+    ctr = centers[0, 0]
+    assert ctr[5, 6] == 41 and ctr[2, 3] == 51
+    assert (ctr != 0).sum() == 2
 
 
 def test_no_collisions_is_invariant():

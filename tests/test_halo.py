@@ -123,3 +123,54 @@ def test_halo_engine_fidelity_shape_matches_base():
     np.testing.assert_allclose(b.vy, a.vy, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(b.r_local, a.r_local, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(b.r_true, a.r_true, rtol=1e-5, atol=1e-6)
+
+
+def test_halo_band_exchanges_issued_before_pooling_collectives():
+    """Overlap structure (VERDICT.md r4 item 5): halo_micro_step issues
+    EVERY phase's time-surface band ppermute (int32 operands) before any
+    flow-surface/integral collective (f32 ppermute / all_gather) exists
+    in the program, so XLA's latency-hiding scheduler can overlap phase
+    p+1's band exchange with phase p's stencil compute on real ICI."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, PartitionSpec as P
+    import functools
+
+    from farms_tpu.parallel.halo import halo_micro_step
+    from farms_tpu.state.surfaces import init_state
+
+    cfg = FlowConfig(width=64, height=64, chunk_size=64, max_window=10,
+                     sub_phases=4, use_pallas=False)
+    n = 4
+    mesh = Mesh(np.array(jax.devices()[:n]), axis_names=("tx",))
+    surf = P("tx", None)
+    state_specs = type(init_state(cfg))(surf, surf, surf, surf, surf, P())
+    step = jax.shard_map(
+        functools.partial(halo_micro_step, cfg=cfg, n=n),
+        mesh=mesh, in_specs=(state_specs, P(None, None)),
+        out_specs=(state_specs, (P(None, "tx"), P("tx"))),
+        check_vma=False)
+    batch = jnp.zeros((5, cfg.chunk_size), jnp.int32)
+    jaxpr = jax.make_jaxpr(step)(init_state(cfg), batch)
+
+    def collect(jx, out, pos=None):
+        pos = pos if pos is not None else [0]
+        for eq in jx.eqns:
+            if eq.primitive.name in ("ppermute", "all_gather"):
+                out.append((pos[0], eq.primitive.name,
+                            eq.invars[0].aval.dtype.name))
+            pos[0] += 1
+            for sub in eq.params.values():
+                if hasattr(sub, "jaxpr"):      # ClosedJaxpr
+                    collect(sub.jaxpr, out, pos)
+                elif type(sub).__name__ == "Jaxpr":   # shard_map body
+                    collect(sub, out, pos)
+        return out
+
+    colls = collect(jaxpr.jaxpr, [])
+    band = [p for p, name, dt in colls
+            if name == "ppermute" and dt == "int32"]
+    pool = [p for p, name, dt in colls if dt == "float32"]
+    assert band and pool
+    assert max(band) < min(pool), (band, pool)
