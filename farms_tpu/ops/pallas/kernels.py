@@ -105,6 +105,10 @@ def _local_vmem_bytes(cfg: FlowConfig, tr: int,
     if n_chain is None:
         n_chain = cfg.causal_snapshots
     scratch = (1 + n_chain) * bh * (cfg.height + 2 * R) * 4
+    # the per-offset causal fold materializes ~2 live band values per
+    # extra chain entry (measured: a 65-entry chain overflowed scoped
+    # VMEM by ~1 MB at tr=8 where this estimate said it fit)
+    scratch += max(0, n_chain - 1) * 2 * tr * cfg.height * 4
     if cfg.filter_size in (3, 5):
         temps = (10 * (2 * R + 1) ** 2 + 170) * tr * cfg.height * 4
     else:
@@ -148,6 +152,12 @@ def aperture_vmem_ok(cfg: FlowConfig) -> bool:
 
 def local_flow_supported(cfg: FlowConfig) -> bool:
     return _unpadded(cfg) and local_flow_vmem_ok(cfg)
+
+
+def local_flow_chain_ok(cfg: FlowConfig, n_chain: int) -> bool:
+    """VMEM gate for a correction pass with an `n_chain`-surface fold."""
+    return _local_vmem_bytes(cfg, _local_tile_rows(cfg, n_chain),
+                             n_chain) <= _VMEM_BUDGET
 
 
 def aperture_supported(cfg: FlowConfig) -> bool:

@@ -143,6 +143,150 @@ def assemble_integral_band(flow_len, flow_vx, flow_vy, cfg: FlowConfig,
     return jnp.concatenate(above + [own] + below, axis=1)
 
 
+def halo_micro_step_sharded(state: SurfaceState, batch,
+                            cfg: FlowConfig, n: int, bs: int):
+    """Owner-sharded variant of halo_micro_step (VERDICT.md r4 item 6).
+
+    `batch` is this shard's OWN int32 [5, P*S*bs + P] lane segment (the
+    host reordered each scatter sub-group's lanes by owning row shard,
+    HaloFlowEngine.pack), so each device uploads ~1/n of the chunk and
+    the per-event scatter/gather work shrinks with n. The stamp row's
+    P-lane tail carries the GLOBAL phase start stamps for the staleness
+    kill (a shard's first segment lane is not the global phase start).
+    Outputs are per-shard lane blocks (no psum at all: every lane is
+    computed by exactly one shard); the host reassembles stream order
+    from its stored permutation.
+    """
+    rows = cfg.array_width // n
+    idx = jax.lax.axis_index("tx")
+    row0 = idx * rows
+
+    x, y, t = batch[0], batch[1], batch[2]
+    is_winner = batch[4].astype(jnp.bool_)
+    S = cfg.causal_snapshots
+    P = cfg.sub_phases
+    t0s = batch[2, P * S * bs:]      # global phase start stamps (tail)
+    A_coarse = 0
+    if cfg.aperture_sub_phases:
+        a = cfg.aperture_sub_phases
+        if a < P and P % a == 0:
+            A_coarse = a
+    pending = []
+
+    if cfg.use_pallas is None:
+        on_tpu = jax.default_backend() == "tpu"
+        pk_local = on_tpu and pallas_kernels.local_flow_vmem_ok(cfg)
+        pk_apert = on_tpu and pallas_kernels.aperture_vmem_ok(cfg)
+    else:
+        pk_local = pk_apert = bool(cfg.use_pallas)
+
+    t_surf = state.t_surf
+    epoch = state.epoch
+    flow_len, flow_vx, flow_vy = state.flow_len, state.flow_vx, state.flow_vy
+    R = cfg.support_radius
+    A = cfg.max_window + 1
+    lanes_out = []
+
+    # pass 1: scatters + band exchanges (issued before all compute; see
+    # halo_micro_step)
+    phases = []
+    t_pre_ext = exchange_halo(t_surf, R, n)
+    for p in range(P):
+        sl = slice(p * S * bs, (p + 1) * S * bs)
+        xs, ys, ts = x[sl], y[sl], t[sl]
+        t1s = ts + 1
+        ep_val = state.step * P + p
+        lx = xs - row0
+        in_core = (lx >= 0) & (lx < rows)   # pad lanes may sit off-shard
+        win_core = is_winner[sl] & in_core
+        snaps_mid_ext = []
+        for si in range(S):
+            ssl = slice(si * bs, (si + 1) * bs)
+            wsx = jnp.where(win_core[ssl], lx[ssl], rows)
+            t_surf = t_surf.at[wsx, ys[ssl]].set(
+                t1s[ssl], mode="drop", unique_indices=True)
+            epoch = epoch.at[wsx, ys[ssl]].set(
+                ep_val, mode="drop", unique_indices=True)
+            if si < S - 1:
+                snaps_mid_ext.append(exchange_halo(t_surf, R, n))
+        written = epoch == ep_val
+        t_post_ext = exchange_halo(t_surf, R, n)
+        phases.append((xs, ys, lx, in_core, written,
+                       t_pre_ext, tuple(snaps_mid_ext), t_post_ext))
+        t_pre_ext = t_post_ext
+
+    # pass 2: stencil compute
+    for p, (xs, ys, lx, in_core, written,
+            pre0, mids, t_post_ext) in enumerate(phases):
+        if not A_coarse or p % (P // A_coarse) == 0:
+            age = (t0s[p] + 1) - pre0[R:R + rows]
+            stale = (age >= cfg.kill_old_flow_time_us) | (age < 0)
+            flow_len = jnp.where(stale, 0.0, flow_len)
+        pre_arg = (pre0,) + mids if mids else pre0
+        if pk_local:
+            vx_map, vy_map, gate_map, len_map, theta_map = (
+                pallas_kernels.local_flow_pallas(
+                    pre_arg, t_post_ext, cfg, halo=R, row_offset=row0))
+        else:
+            vx_map, vy_map, gate_map, len_map, theta_map = dense_local_flow(
+                pre_arg, t_post_ext, cfg, halo=R, row_offset=row0)
+        flow_len = jnp.where(
+            written, jnp.where(gate_map, len_map, 0.0), flow_len)
+        flow_vx = jnp.where(
+            written, jnp.where(gate_map, vx_map, 0.0), flow_vx)
+        flow_vy = jnp.where(
+            written, jnp.where(gate_map, vy_map, 0.0), flow_vy)
+
+        safe_lx = jnp.clip(lx, 0, rows - 1)
+        if A_coarse:
+            sc = lambda a: jnp.nan_to_num(a, nan=0.0, posinf=0.0,
+                                          neginf=0.0)
+            loc = onehot_gather(
+                jnp.stack([sc(vx_map), sc(vy_map),
+                           gate_map.astype(jnp.float32)]),
+                safe_lx, ys, rows, cfg.height)
+            loc = jnp.where(in_core[None, :], loc, 0.0)
+            pending.append((safe_lx, ys, in_core, loc))
+            if (p + 1) % (P // A_coarse) != 0:
+                continue
+        integ_ext = assemble_integral_band(flow_len, flow_vx, flow_vy,
+                                           cfg, n, A)
+        if pk_apert:
+            tvx_map, tvy_map, scale_map = pallas_kernels.aperture_pallas(
+                flow_len, flow_vx, flow_vy, cfg, halo=A, integ=integ_ext)
+        else:
+            tvx_map, tvy_map, scale_map = dense_aperture(
+                flow_len, flow_vx, flow_vy, cfg, halo=A, integ=integ_ext)
+        if A_coarse:
+            sc = lambda a: jnp.nan_to_num(a, nan=0.0, posinf=0.0,
+                                          neginf=0.0)
+            amaps = jnp.stack([sc(tvx_map), sc(tvy_map),
+                               scale_map.astype(jnp.float32)])
+            for glx, gys, gcore, gloc in pending:
+                tf = onehot_gather(amaps, glx, gys, rows, cfg.height)
+                tf = jnp.where(gcore[None, :], tf, 0.0)
+                gate = gloc[2] != 0
+                aux_f = jnp.where(gate, 128 + tf[2] // cfg.window_jump,
+                                  0.0)
+                lanes_out.append(jnp.stack(
+                    [gloc[0], gloc[1],
+                     jnp.where(gate, tf[0], 0.0),
+                     jnp.where(gate, tf[1], 0.0), aux_f]))
+            pending = []
+            continue
+        out_maps = wire_maps(gate_map, vx_map, vy_map, tvx_map, tvy_map,
+                             scale_map, cfg, packed=False)
+        lanes = onehot_gather(out_maps, safe_lx, ys, rows, cfg.height)
+        lanes_out.append(jnp.where(in_core[None, :], lanes, 0.0))
+
+    lanes = (lanes_out[0] if len(lanes_out) == 1
+             else jnp.concatenate(lanes_out, axis=1))
+    out = wire_pack(lanes[0], lanes[1], lanes[2], lanes[3], lanes[4], cfg)
+    new_state = SurfaceState(t_surf, epoch, flow_len, flow_vx, flow_vy,
+                             state.step + 1)
+    return new_state, out
+
+
 def halo_micro_step(state: SurfaceState, batch, cfg: FlowConfig, n: int):
     """One micro-step executed per shard under shard_map.
 
@@ -408,10 +552,124 @@ class HaloFlowEngine(FlowEngine):
 
         self._scan = _scan
 
+        # owner-sharded upload path (VERDICT.md r4 item 6): per scatter
+        # sub-group, the host reorders lanes by owning row shard with 2x
+        # slack, so each device uploads ~1/n of the chunk, scatters and
+        # gathers only its own lanes, and NO output psum is needed. A
+        # sub-group whose lanes concentrate past the slack falls back to
+        # the replicated path for that process() call.
+        blk = cfg.chunk_size // (cfg.sub_phases * cfg.causal_snapshots)
+        # 2x slack + a small constant (binomial fluctuation dominates
+        # tiny sub-groups)
+        self._bs = min(blk, 2 * -(-blk // n) + 4) if n > 1 else blk
+        self._shard_layout = None
+        if n > 1:
+            sstep = functools.partial(halo_micro_step_sharded, cfg=cfg,
+                                      n=n, bs=self._bs)
+            shard_step = jax.shard_map(
+                lambda st, b: sstep(st, b[0]),
+                mesh=mesh,
+                in_specs=(state_specs, P("tx", None, None)),
+                out_specs=(state_specs, (P(None, "tx"), P("tx"))),
+                check_vma=False,
+            )
+
+            @functools.partial(jax.jit, donate_argnums=(0,),
+                               out_shardings=(self._state_shardings, None))
+            def _scan_sharded(state, chunk):
+                return jax.lax.scan(lambda st, b: shard_step(st, b),
+                                    state, chunk)
+
+            self._scan_sharded = _scan_sharded
+            self._batch_sharding = NamedSharding(mesh, P(None, "tx"))
+
+    def pack(self, ev, steps_per_call=None, compact=False):
+        """5-row pack + owner-shard reorder (halo_micro_step_sharded).
+
+        Returns int32 [n_calls, spc, n, 5, msh] with msh = G*bs + P:
+        per scatter sub-group, each shard's owned lanes packed into a
+        bs-lane segment (chronology preserved; the remainder zero-padded
+        with winner=0 so pads never scatter), plus a P-lane tail whose
+        stamp row carries the GLOBAL phase start stamps for the
+        staleness kill. Falls back to the replicated layout when any
+        sub-group overflows its slack (self._shard_layout None).
+        """
+        packed, nn = super().pack(ev, steps_per_call=steps_per_call,
+                                  compact=False)
+        n = self.n_shards
+        self._shard_layout = None
+        if n == 1:
+            return packed, nn
+        cfg = self.cfg
+        n_calls, spc, _, m = packed.shape
+        G = cfg.sub_phases * cfg.causal_snapshots
+        blk = m // G
+        bs = self._bs
+        mp = m // cfg.sub_phases
+        rows = cfg.array_width // n
+        owner = np.minimum(packed[:, :, 0, :] // rows, n - 1)
+        # padded (invalid) lanes sit at x=0 and would all pile onto
+        # shard 0; they never scatter and their outputs are discarded,
+        # so spread them round-robin instead
+        pad = packed[:, :, 3, :] == 0
+        owner = np.where(pad, np.arange(m, dtype=np.int64) % n, owner)
+        msh = G * bs + cfg.sub_phases
+        shard_pack = np.zeros((n_calls, spc, n, 5, msh), np.int32)
+        # stamp-row tail = global phase start stamps (kill reference)
+        shard_pack[:, :, :, 2, G * bs:] = (
+            packed[:, :, 2, ::mp][:, :, None, :cfg.sub_phases])
+        perm = np.full((n_calls, spc, n, G * bs), -1, np.int64)
+        for c in range(n_calls):
+            for s in range(spc):
+                for g in range(G):
+                    lanes = np.arange(g * blk, (g + 1) * blk)
+                    ow = owner[c, s, lanes]
+                    for k in range(n):
+                        src = lanes[ow == k]
+                        if src.size > bs:
+                            return packed, nn   # overflow: replicated
+                        dst = np.arange(g * bs, g * bs + src.size)
+                        shard_pack[c, s, k][:, dst] = packed[c, s][:, src]
+                        perm[c, s, k, dst] = src
+        self._shard_layout = perm
+        return shard_pack, nn
+
+    def _unpack_outputs(self, out_blocks, ev, nn):
+        if self._shard_layout is None:
+            return super()._unpack_outputs(out_blocks, ev, nn)
+        from farms_tpu.pipeline.engine import wire_n_main_rows
+        cfg = self.cfg
+        C = wire_n_main_rows(cfg)
+        m = cfg.chunk_size
+        n = self.n_shards
+        perm = self._shard_layout           # [n_calls, spc, n, G*bs]
+        gbs = perm.shape[3]
+        blocks = []
+        for c, (mo, ao) in enumerate(out_blocks):
+            mo = np.asarray(mo)
+            ao = np.asarray(ao)
+            spc = mo.shape[0]
+            msh = mo.shape[2] // n
+            mo = mo.reshape(spc, C, n, msh)[..., :gbs]
+            ao = ao.reshape(spc, n, msh)[..., :gbs]
+            gm = np.zeros((spc, C, m), mo.dtype)
+            ga = np.zeros((spc, m), ao.dtype)
+            pc = perm[c]
+            for s in range(spc):
+                for k in range(n):
+                    v = pc[s, k] >= 0
+                    gm[s][:, pc[s, k, v]] = mo[s][:, k, v]
+                    ga[s][pc[s, k, v]] = ao[s, k, v]
+            blocks.append((gm, ga))
+        return super()._unpack_outputs(blocks, ev, nn)
+
     def reset(self):
         super().reset()
         self.state = jax.device_put(self.state, self._state_shardings)
 
     def _dispatch(self, chunk):
+        if chunk.ndim == 4:                 # owner-sharded layout
+            chunk = jax.device_put(chunk, self._batch_sharding)
+            return self._scan_sharded(self.state, chunk)
         chunk = jax.device_put(chunk, self._repl)
         return self._scan(self.state, chunk)

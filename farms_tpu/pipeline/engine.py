@@ -601,7 +601,8 @@ def micro_step(state: SurfaceState, batch, cfg: FlowConfig):
         # the center surface arrives host-built (pack_r2): zero device
         # prep work at all for the rank-2 data
         t_c2 = corr_ctr
-        if pk_local:
+        if pk_local and pallas_kernels.local_flow_chain_ok(
+                cfg, len(chunk_chain)):
             vx2, vy2, gate2, _, _ = pallas_kernels.local_flow_pallas(
                 tuple(chunk_chain[:-1]), chunk_chain[-1], cfg,
                 t_center=t_c2)

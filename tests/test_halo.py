@@ -174,3 +174,101 @@ def test_halo_band_exchanges_issued_before_pooling_collectives():
     pool = [p for p, name, dt in colls if dt == "float32"]
     assert band and pool
     assert max(band) < min(pool), (band, pool)
+
+
+def test_halo_owner_sharded_upload_matches_base():
+    """Owner-sharded batch path (VERDICT.md r4 item 6): each shard
+    uploads ~1/n of the chunk (its own lanes, reordered host-side), no
+    output psum, host reassembles stream order - outputs identical to
+    the single-device engine."""
+    import numpy as np
+
+    from farms_tpu.events.io import EventBatch
+    from farms_tpu.pipeline.engine import FlowEngine
+
+    # four parallel translating bars, one per shard band, interleaved
+    # event-by-event: every scatter sub-group spreads over all 4 shards
+    # (a single bar concentrates each sub-group on one shard and
+    # correctly falls back; see the overflow test)
+    xs, ys, ts = [], [], []
+    for step in range(12):
+        for yy in range(10, 40):
+            for b, x0 in enumerate((2, 18, 34, 50)):
+                xs.append(x0 + step)
+                ys.append(yy)
+                ts.append(1000 + step * 400 + (yy - 10) * 2 + b)
+    order = np.argsort(np.asarray(ts), kind="stable")
+    ev = EventBatch(np.asarray(xs, np.int32)[order],
+                    np.asarray(ys, np.int32)[order],
+                    np.asarray(ts, np.uint32)[order],
+                    np.ones(len(xs), np.int32))
+    cfg = FlowConfig(width=64, height=48, chunk_size=128, steps_per_scan=2,
+                     max_window=10, window_jump=5, use_pallas=False,
+                     sub_phases=4, aperture_sub_phases=2,
+                     causal_snapshots=2)
+    base = FlowEngine(cfg).process(ev)
+    eng = HaloFlowEngine(cfg, num_devices=4)
+    # the owner-sharded layout must actually engage (2x slack):
+    # verify via pack, then process end-to-end
+    packed, _ = eng.pack(ev)
+    assert packed.ndim == 5 and packed.shape[2] == 4
+    per_shard = packed.shape[4]
+    assert per_shard < cfg.chunk_size          # ~1/n + slack + tail
+    b = eng.process(ev)
+    assert eng._shard_layout is not None
+    # vs the REPLICATED halo engine: identical outputs (the parity claim
+    # of the owner-sharded upload: same compute, 1/n of the transfers)
+    eng_r = HaloFlowEngine(cfg, num_devices=4)
+    orig = eng_r.pack
+
+    def replicated_pack(ev2, steps_per_call=None, compact=False):
+        out = FlowEngine.pack(eng_r, ev2, steps_per_call=steps_per_call,
+                              compact=False)
+        eng_r._shard_layout = None
+        return out
+
+    eng_r.pack = replicated_pack
+    a = eng_r.process(ev)
+    assert eng_r._shard_layout is None
+    for col in ("vx", "vy", "r_local", "r_true", "theta_true", "scale"):
+        np.testing.assert_array_equal(np.asarray(getattr(a, col)),
+                                      np.asarray(getattr(b, col)),
+                                      err_msg=col)
+    # vs the single-device engine: LOCAL columns are exact; the true
+    # columns can flip near-tie scale argmaxes (the integral-partials
+    # path associates box sums differently - fp-level ties on this
+    # 4-identical-bars stream), so only sanity-bound them
+    valid = np.asarray(base.r_local) > 0
+    assert valid.sum() > 50
+    np.testing.assert_allclose(b.vx, base.vx, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(b.vy, base.vy, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(b.r_local, base.r_local,
+                               rtol=1e-5, atol=1e-6)
+    close = np.isclose(np.asarray(b.r_true), np.asarray(base.r_true),
+                       rtol=1e-4, atol=1e-5)
+    assert close.mean() > 0.97, close.mean()
+
+
+def test_halo_owner_sharded_overflow_falls_back():
+    """A stream concentrated on one shard overflows the slack budget and
+    falls back to the replicated layout, with identical outputs."""
+    import numpy as np
+
+    from farms_tpu.events.io import EventBatch
+    from farms_tpu.pipeline.engine import FlowEngine
+
+    rng = np.random.default_rng(3)
+    n = 512
+    x = rng.integers(0, 8, n).astype(np.int32)     # all on shard 0
+    y = rng.integers(0, 48, n).astype(np.int32)
+    t = np.sort(rng.integers(0, 20000, n)).astype(np.uint32)
+    ev = EventBatch(x, y, t, np.ones(n, np.int32))
+    cfg = FlowConfig(width=64, height=48, chunk_size=128, steps_per_scan=2,
+                     max_window=10, window_jump=5, use_pallas=False,
+                     sub_phases=2)
+    a = FlowEngine(cfg).process(ev)
+    eng = HaloFlowEngine(cfg, num_devices=4)
+    b = eng.process(ev)
+    assert eng._shard_layout is None               # replicated fallback
+    np.testing.assert_allclose(b.vx, a.vx, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(b.r_true, a.r_true, rtol=1e-5, atol=1e-6)
