@@ -172,14 +172,19 @@ def main():
     agreement = None
     if int(os.environ.get("FARMS_BENCH_FIDELITY", 1)):
         import dataclasses
-        f_phases = int(os.environ.get("FARMS_BENCH_F_PHASES", 8))
+        # `--preset fidelity` (cli.py _PRESETS): P=2, A=2, S=8 with the
+        # rank-2 correction on the phase-boundary chain - 96.3%
+        # bar-stream validity agreement at ~48 M ev/s (ACCURACY.md r5)
+        f_phases = int(os.environ.get("FARMS_BENCH_F_PHASES", 2))
         f_aphases = int(os.environ.get("FARMS_BENCH_F_APHASES", 2))
-        f_snaps = int(os.environ.get("FARMS_BENCH_F_SNAPSHOTS", 2))
-        f_corr = int(os.environ.get("FARMS_BENCH_F_CORRECTION", 16384))
+        f_snaps = int(os.environ.get("FARMS_BENCH_F_SNAPSHOTS", 8))
+        f_corr = int(os.environ.get("FARMS_BENCH_F_CORRECTION", 32768))
+        f_coarse = int(os.environ.get("FARMS_BENCH_F_COARSE", 1))
         cfg_f = dataclasses.replace(cfg, sub_phases=f_phases,
                                     aperture_sub_phases=f_aphases,
                                     causal_snapshots=f_snaps,
-                                    center_correction=f_corr)
+                                    center_correction=f_corr,
+                                    correction_coarse_chain=bool(f_coarse))
         eng_f = FlowEngine(cfg_f)
         ev_f = synthetic_random_events(n, width=320, height=320,
                                       rate_hz=5e6, seed=100)

@@ -101,6 +101,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="center-correction budget: rank-2 lanes re-fit "
                         "per chunk (FlowConfig.center_correction; 0 = "
                         "off)")
+    p.add_argument("--correction-chain", type=str, default=None,
+                   choices=("full", "coarse"),
+                   help="correction-pass visibility chain: every "
+                        "sub-group boundary ('full') or plane-fit phase "
+                        "boundaries only ('coarse'; cheaper, the "
+                        "fidelity preset's choice)")
     p.add_argument("--snapshots", type=int, default=None,
                    help="causal visibility snapshots per sub-phase "
                         "(FlowConfig.causal_snapshots; the fidelity "
@@ -167,16 +173,27 @@ def make_engine(cfg: FlowConfig, engine: str, devices: int):
 
 
 # validated (chunk_size, sub_phases, aperture_sub_phases,
-# causal_snapshots, center_correction, wire) bundles - ACCURACY.md /
-# BENCHMARKS.jsonl document the measured throughput/error rows for each
+# causal_snapshots, center_correction, coarse_chain, wire) bundles -
+# ACCURACY.md / BENCHMARKS.jsonl document the measured throughput/error
+# rows for each
 _PRESETS = {
-    # highest throughput inside the AEE/angular budget
-    "benchmark": (131072, 2, 0, 1, 0, "f16"),
-    # >= 95% validity agreement vs the event-serial semantics: plane fit
-    # at granularity 16384, pooling at 65536, visibility snapshots at
-    # 8192, rank-2 center correction (ACCURACY.md frontier)
-    "fidelity": (131072, 8, 2, 2, 32768, "f16"),
-    "exact": (1, 1, 0, 1, 0, "f32"),
+    # highest throughput inside the AEE/angular budget: ~60-68 M ev/s
+    # on one v5e chip (epoch-less derived-written path)
+    "benchmark": (131072, 2, 0, 1, 0, False, "f16"),
+    # >= 95% validity agreement vs the event-serial semantics at
+    # ~45-48 M ev/s: plane fit at granularity 65536 with visibility
+    # snapshots at 8192 and the rank-2 center-correction pass
+    # (phase-boundary visibility chain) - 96.3% bar-stream agreement
+    # (ACCURACY.md round-5 frontier)
+    "fidelity": (131072, 2, 2, 8, 32768, True, "f16"),
+    # >= 80% scale-column match for consumers of output column 11
+    # (vFlow.cpp:438): the scale argmax needs the WHOLE pipeline at fine
+    # granularity - 81.9% match / 99.7% validity agreement at
+    # granularity 256 (measured round 5; pooling-only refinement
+    # saturates at ~60%, chunk 2048 at ~65% - the round-3 "82% at 2048"
+    # figure did not reproduce)
+    "scale-faithful": (256, 1, 0, 1, 0, False, "f16"),
+    "exact": (1, 1, 0, 1, 0, False, "f32"),
 }
 
 
@@ -193,8 +210,8 @@ def _resolve_operating_point(args):
     if preset is None:
         import jax
         preset = "benchmark" if jax.default_backend() == "tpu" else None
-    chunk, phases, ap, snaps, corr, wire = _PRESETS.get(
-        preset, (4096, 1, 0, 1, 0, "f32"))
+    chunk, phases, ap, snaps, corr, cchain, wire = _PRESETS.get(
+        preset, (4096, 1, 0, 1, 0, False, "f32"))
     user_p = args.sub_phases is not None
     user_ap = args.aperture_sub_phases is not None
     user_s = args.snapshots is not None
@@ -203,6 +220,8 @@ def _resolve_operating_point(args):
     ap = args.aperture_sub_phases if user_ap else ap
     snaps = args.snapshots if user_s else snaps
     corr = args.correction if args.correction is not None else corr
+    if args.correction_chain is not None:
+        cchain = args.correction_chain == "coarse"
     wire = args.wire if args.wire is not None else wire
     # explicit flags always win; PRESET-sourced members that conflict
     # with them reset to neutral instead of crashing FlowConfig
@@ -216,14 +235,14 @@ def _resolve_operating_point(args):
     if ap and not user_ap and (
             (ap % phases and phases % ap) or chunk % ap):
         ap = 0
-    return chunk, phases, ap, snaps, corr, wire
+    return chunk, phases, ap, snaps, corr, cchain, wire
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     serial = args.SERIAL == 1
-    chunk_size, sub_phases, ap_phases, snapshots, correction, wire = (
-        _resolve_operating_point(args))
+    (chunk_size, sub_phases, ap_phases, snapshots, correction,
+     coarse_chain, wire) = _resolve_operating_point(args)
     if args.preset is None and not serial:
         # the implicit default differs by backend (TPU -> the `benchmark`
         # preset's chunked f16 semantics; elsewhere a small f32 point), so
@@ -257,6 +276,7 @@ def main(argv=None) -> int:
         aperture_sub_phases=0 if serial else ap_phases,
         causal_snapshots=1 if serial else snapshots,
         center_correction=0 if serial else correction,
+        correction_coarse_chain=coarse_chain,
         wire=wire,
         use_dense=use_dense,
         use_pallas=use_pallas,

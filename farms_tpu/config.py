@@ -118,6 +118,14 @@ class FlowConfig:
     # dense pass + one B-lane scatter per chunk, independent of P.
     center_correction: int = 0
 
+    # Correction-pass visibility chain granularity: False (default)
+    # folds over EVERY sub-group boundary surface (P*S+1 entries -
+    # corrected lanes see neighbors at the same chunk/(P*S) granularity
+    # as pass 1); True keeps only plane-fit phase boundaries (P+1
+    # entries), trading corrected-lane neighbor visibility (chunk/P) for
+    # ~(S-1)*P fewer fold selects per support offset in the extra pass.
+    correction_coarse_chain: bool = False
+
     # --- compute path selection ---
     # dense=True (default): per-pixel stencil formulation (ops/dense_flow.py)
     # - the TPU fast path; per-event random access is limited to the initial

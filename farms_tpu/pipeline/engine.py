@@ -369,7 +369,8 @@ def micro_step(state: SurfaceState, batch, cfg: FlowConfig):
                             ep_val, mode="drop", unique_indices=True)
                     if si < S - 1:
                         snaps_mid.append(t_surf)
-                    if corr:
+                    if corr and (si == S - 1
+                                 or not cfg.correction_coarse_chain):
                         chunk_chain.append(t_surf)
             if derive:
                 el = wesc[p]                       # [E] phase-local lanes
@@ -1142,7 +1143,7 @@ class FlowEngine:
     # and uploads overlap downloads (full duplex), so process() drains
     # outputs on a small thread pool while the main thread keeps packing
     # and dispatching the next calls.
-    _FETCH_THREADS = 3
+    _FETCH_THREADS = 6
     # inline (thread-less) mode: max scan calls dispatched ahead of the
     # fetch cursor, bounding resident per-call output buffers in HBM
     _DISPATCH_AHEAD = 4
@@ -1168,11 +1169,12 @@ class FlowEngine:
             return _empty_output()
         sparse = self.cfg.wire == "sparse"
         if steps_per_call is None:
-            # sparse-wire calls cost two synchronous tunnel round trips
-            # each (counts-dependent prefix fetch), so they use 4x larger
-            # pipeline units: fewer, bigger calls win on a latency-bound
-            # link
-            unit = self._PIPELINE_EVENTS * (4 if sparse else 1)
+            # sparse-wire calls cost one tunnel round trip each (counts +
+            # payload rider share one fetch), so they use 2x pipeline
+            # units: the measured sweet spot between per-call latency
+            # amortization and calls-in-flight depth (round-5 sweep:
+            # 2x at 6 fetch threads beat 1x and 4x)
+            unit = self._PIPELINE_EVENTS * (2 if sparse else 1)
             steps_per_call = max(1, min(
                 self.cfg.steps_per_scan,
                 -(-unit // self.cfg.chunk_size)))

@@ -142,6 +142,9 @@ def main():
     ap.add_argument("--correction", nargs="+", type=int, default=[0],
                     help="center_correction budgets to cross in "
                          "(0 = off; rank-2 lanes per chunk)")
+    ap.add_argument("--coarse-chain", action="store_true",
+                    help="correction pass folds phase boundaries only "
+                         "(FlowConfig.correction_coarse_chain)")
     ap.add_argument("--wire", default="f16",
                     help="wire format for the engine (bench ships f16)")
     ap.add_argument("--out", default="ACCURACY.json")
@@ -175,6 +178,7 @@ def main():
                                      aperture_sub_phases=AP,
                                      causal_snapshots=S,
                                      center_correction=C,
+                                     correction_coarse_chain=args.coarse_chain,
                                      wire=args.wire)
                     eng = FlowEngine(cfg)
                     t0 = time.time()
@@ -183,6 +187,7 @@ def main():
                     row = {"chunk_size": m, "sub_phases": P,
                            "aperture_sub_phases": AP,
                            "causal_snapshots": S, "correction": C,
+                           "coarse_chain": args.coarse_chain,
                            "span_us_per_chunk": round(m / rate * 1e6),
                            **metrics(got, orc)}
                     rows.append(row)

@@ -162,7 +162,7 @@ def test_preset_members_yield_to_explicit_flags(tmp_path):
     p = build_parser()
     args = p.parse_args(["--filename", "x", "--preset", "benchmark",
                          "--chunk-size", "1"])
-    chunk, phases, ap, snaps, corr, wire = _resolve_operating_point(args)
+    chunk, phases, ap, snaps, corr, cchain, wire = _resolve_operating_point(args)
     assert (chunk, phases, ap, snaps) == (1, 1, 0, 1)
     assert wire == "f16"          # non-conflicting members still apply
     # FlowConfig must accept the resolved bundle
@@ -172,7 +172,7 @@ def test_preset_members_yield_to_explicit_flags(tmp_path):
     # explicit sub-phases conflicting with an explicit chunk still raise
     args = p.parse_args(["--filename", "x", "--preset", "benchmark",
                          "--chunk-size", "9", "--sub-phases", "2"])
-    chunk, phases, ap, snaps, corr, wire = _resolve_operating_point(args)
+    chunk, phases, ap, snaps, corr, cchain, wire = _resolve_operating_point(args)
     import pytest
     with pytest.raises(ValueError):
         FlowConfig(chunk_size=chunk, sub_phases=phases,
