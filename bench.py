@@ -86,7 +86,7 @@ def device_batches(eng, cfg, ev, spc, n_calls, span):
     return batches, evs
 
 
-def timed_lane(cfg, batches, reps=2):
+def timed_lane(cfg, batches, reps=3):
     """Best-of-reps wall rate over the pre-uploaded call sequence."""
     best = 0.0
     outs = None
@@ -136,7 +136,7 @@ def main():
     spc = int(os.environ.get("FARMS_BENCH_STEPS", 8))
     n_calls = int(os.environ.get("FARMS_BENCH_CALLS", 16))
     e2e_calls = int(os.environ.get("FARMS_BENCH_E2E_CALLS", 4))
-    e2e_reps = int(os.environ.get("FARMS_BENCH_E2E_REPS", 3))
+    e2e_reps = int(os.environ.get("FARMS_BENCH_E2E_REPS", 5))
     n = m * spc  # events per scan call
     wire = os.environ.get("FARMS_BENCH_WIRE", "f16")
     phases = int(os.environ.get("FARMS_BENCH_PHASES", 2))
@@ -188,7 +188,7 @@ def main():
         eng_f = FlowEngine(cfg_f)
         ev_f = synthetic_random_events(n, width=320, height=320,
                                       rate_hz=5e6, seed=100)
-        packs, f_evs = device_batches(eng_f, cfg_f, ev_f, spc, 4, span)
+        packs, f_evs = device_batches(eng_f, cfg_f, ev_f, spc, 6, span)
         state = init_state(cfg_f)
         state, out = scan_chunk(state, packs[0], cfg_f)   # warmup
         float(jnp.sum(out[0]))
@@ -243,6 +243,11 @@ def main():
             e2e_passes.append(e2e_calls * n / dt)
         e2e = statistics.median(e2e_passes)
         fetches_per_call = eng2.fetch_stats["fetches"] / max(1, n_proc)
+        # fetch wall seconds per pass, SUMMED over the concurrent fetch
+        # workers (can exceed the pass wall time with >1 thread; each
+        # worker's timer also includes waiting for device data). Raw
+        # transport evidence next to fetches_per_call and rtt_ms.
+        fetch_wall_per_pass = eng2.fetch_stats["seconds"] / e2e_reps
         frac_present = float(np.mean((out.vx != 0) | (out.vy != 0)
                                      | np.isnan(out.vx)))
         frac_valid = float(np.mean(out.r_local != 0))
@@ -282,6 +287,9 @@ def main():
     if fetches_per_call is not None:
         out["e2e_fetches_per_process_call"] = round(fetches_per_call, 2)
         out["e2e_rtt_ms"] = round(rtt_ms, 1)
+        out["e2e_fetch_wall_s_per_pass"] = round(fetch_wall_per_pass, 3)
+        out["e2e_wall_s_per_pass"] = round(
+            e2e_calls * n / e2e if e2e else 0.0, 3)
     print(json.dumps(out))
     return 0
 
