@@ -1322,10 +1322,30 @@ class FlowEngine:
         Returns (fn, device_chunk): `fn()` executes every micro-step in a
         single dispatch and returns the device-resident outputs. Used by the
         benchmark to time pure processing, matching the reference's timed
-        region (vFlow.cpp:214-423), which also excludes file I/O.
+        region (vFlow.cpp:214-423), which also excludes file I/O. Base
+        dense engines run the epoch-less derived-written dict path (and
+        the correction pass when configured), like process().
         """
-        packed, n = self.pack(ev, steps_per_call=max(
-            1, -(-len(ev) // self.cfg.chunk_size)))
+        spc = max(1, -(-len(ev) // self.cfg.chunk_size))
+        packed, n = self.pack(ev, steps_per_call=spc)
+        base_dispatch = type(self)._dispatch is FlowEngine._dispatch
+        if base_dispatch and self.cfg.use_dense:
+            batch = {"ev": jnp.asarray(packed[0])}
+            wesc, ok = self.pack_wesc(ev, steps_per_call=spc)
+            if ok[0]:
+                batch["wesc"] = jnp.asarray(wesc[0])
+            if self.cfg.center_correction:
+                r2f, r2c = self.pack_r2(ev, steps_per_call=spc)
+                batch["r2f"] = jnp.asarray(r2f[0])
+                batch["r2c"] = jnp.asarray(r2c[0])
+            chunk = jax.device_put(batch)
+
+            def fn():
+                new_state, out = scan_chunk(self.state, chunk, self.cfg)
+                self.state = new_state
+                return out
+
+            return fn, n
         chunk = jax.device_put(jnp.asarray(packed[0]))
 
         def fn():
