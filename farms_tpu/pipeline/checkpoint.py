@@ -97,4 +97,8 @@ def load_engine(engine: FlowEngine, path: str) -> FlowEngine:
         # pass through; sharded engines distribute over their mesh)
         engine.state = engine.place_state(state)
         engine._t0 = np.uint32(data["t0"]) if bool(data["has_t0"]) else None
+        # invalidate the host stamp mirror (pack_wesc) so the restored
+        # t_surf re-seeds it; a stale mirror would derive wrong
+        # equal-stamp escapes for the derived-written path
+        engine._last_stamp = None
     return engine
