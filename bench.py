@@ -248,6 +248,24 @@ def main():
         # worker's timer also includes waiting for device data). Raw
         # transport evidence next to fetches_per_call and rtt_ms.
         fetch_wall_per_pass = eng2.fetch_stats["seconds"] / e2e_reps
+        # transport-bound PROOF pass: one extra pass on a SINGLE fetch
+        # thread - with no worker overlap the fetch wall is directly
+        # comparable to the pass wall, so fetch_frac ~ 1 means the lane
+        # IS the transport (VERDICT.md r4 item 3's latency-floor
+        # artifact, replacing the unloaded-RTT extrapolation)
+        eng2._FETCH_THREADS = 1
+        eng2.reset()
+        eng2.fetch_stats = {"fetches": 0, "seconds": 0.0}
+        t0 = time.perf_counter()
+        for i in range(e2e_calls):
+            evi = EventBatch(ev.x, ev.y,
+                             (ev.t.astype(np.int64)
+                              + i * int(span)).astype(np.uint32), ev.pol)
+            out = eng2.process(evi)
+        float(np.sum(out.r_true))
+        st_wall = time.perf_counter() - t0
+        st_fetch_frac = eng2.fetch_stats["seconds"] / st_wall
+        st_rate = e2e_calls * n / st_wall
         frac_present = float(np.mean((out.vx != 0) | (out.vy != 0)
                                      | np.isnan(out.vx)))
         frac_valid = float(np.mean(out.r_local != 0))
@@ -290,6 +308,9 @@ def main():
         out["e2e_fetch_wall_s_per_pass"] = round(fetch_wall_per_pass, 3)
         out["e2e_wall_s_per_pass"] = round(
             e2e_calls * n / e2e if e2e else 0.0, 3)
+        # single-fetch-thread proof pass: fetch wall / pass wall
+        out["e2e_1thread_fetch_frac"] = round(st_fetch_frac, 3)
+        out["e2e_1thread_events_per_second"] = round(st_rate, 1)
     print(json.dumps(out))
     return 0
 
