@@ -143,19 +143,77 @@ def assemble_integral_band(flow_len, flow_vx, flow_vy, cfg: FlowConfig,
     return jnp.concatenate(above + [own] + below, axis=1)
 
 
+def _corr_assemble(cfg: FlowConfig, pk_local, chain_ext, t_c2,
+                   loc_maps, ap_tables, rows, row0,
+                   lx, ys, in_core, cflag, grp):
+    """Sharded rank-2 correction pass + merged-table lane assembly.
+
+    The shard-local mirror of micro_step's deferred correction
+    (pipeline/engine.py): the extra plane-fit pass runs on the chunk's
+    halo-EXCHANGED boundary chain (already produced by pass 1 - no new
+    collectives) with the shard's slice of the host-built center
+    surface, and every lane reads its local/true rows through one
+    merged-table take, selecting the correction table via the
+    host-shipped flag. Off-shard lanes are zeroed (psum-safe).
+    Returns the [5, m] f32 lane stack (halo wire layout, packed=False).
+    """
+    R = cfg.support_radius
+    H = cfg.height
+    sc = lambda a: jnp.nan_to_num(a, nan=0.0, posinf=0.0, neginf=0.0)
+    t_c2_ext = jnp.pad(t_c2, ((R, R), (0, 0)))
+    pre_arg = (tuple(chain_ext[:-1]) if len(chain_ext) > 2
+               else chain_ext[0])
+    if pk_local and pallas_kernels.local_flow_chain_ok(
+            cfg, len(chain_ext)):
+        vx2, vy2, gate2, _, _ = pallas_kernels.local_flow_pallas(
+            pre_arg, chain_ext[-1], cfg, halo=R, row_offset=row0,
+            t_center=t_c2_ext)
+    else:
+        vx2, vy2, gate2, _, _ = dense_local_flow(
+            pre_arg, chain_ext[-1], cfg, halo=R, row_offset=row0,
+            t_center=t_c2_ext)
+    loc_all = loc_maps + [jnp.stack([sc(vx2), sc(vy2),
+                                     gate2.astype(jnp.float32)])]
+    RH = rows * H
+    n_loc = len(loc_all)
+    loc_tbl = jnp.concatenate([a.reshape(3, RH) for a in loc_all], axis=1)
+    safe_lx = jnp.clip(lx, 0, rows - 1)
+    pix = safe_lx * jnp.int32(H) + ys
+    idx_loc = (jnp.where(cflag, jnp.int32(n_loc - 1), grp)
+               * jnp.int32(RH) + pix)
+    loc_l = jnp.take(loc_tbl, idx_loc, axis=1)
+    loc_l = jnp.where(in_core[None, :], loc_l, 0.0)
+    n_ap = len(ap_tables)
+    m = lx.shape[0]
+    apg = (jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)[0]
+           // jnp.int32(m // n_ap))
+    ap_tbl = jnp.concatenate([a.reshape(3, RH) for a in ap_tables],
+                             axis=1)
+    tf = jnp.take(ap_tbl, apg * jnp.int32(RH) + pix, axis=1)
+    tf = jnp.where(in_core[None, :], tf, 0.0)
+    gate = loc_l[2] != 0
+    aux_f = jnp.where(gate, 128 + tf[2] // cfg.window_jump, 0.0)
+    return jnp.stack([loc_l[0], loc_l[1],
+                      jnp.where(gate, tf[0], 0.0),
+                      jnp.where(gate, tf[1], 0.0), aux_f])
+
+
 def halo_micro_step_sharded(state: SurfaceState, batch,
-                            cfg: FlowConfig, n: int, bs: int):
+                            cfg: FlowConfig, n: int, bs: int,
+                            t_c2=None):
     """Owner-sharded variant of halo_micro_step (VERDICT.md r4 item 6).
 
     `batch` is this shard's OWN int32 [5, P*S*bs + P] lane segment (the
     host reordered each scatter sub-group's lanes by owning row shard,
-    HaloFlowEngine.pack), so each device uploads ~1/n of the chunk and
-    the per-event scatter/gather work shrinks with n. The stamp row's
-    P-lane tail carries the GLOBAL phase start stamps for the staleness
-    kill (a shard's first segment lane is not the global phase start).
-    Outputs are per-shard lane blocks (no psum at all: every lane is
-    computed by exactly one shard); the host reassembles stream order
-    from its stored permutation.
+    HaloFlowEngine.pack) - [6, ...] with the reordered corrected-lane
+    flag row when `t_c2` (this shard's center-surface band,
+    FlowConfig.center_correction) is given - so each device uploads
+    ~1/n of the chunk and the per-event scatter/gather work shrinks
+    with n. The stamp row's P-lane tail carries the GLOBAL phase start
+    stamps for the staleness kill (a shard's first segment lane is not
+    the global phase start). Outputs are per-shard lane blocks (no psum
+    at all: every lane is computed by exactly one shard); the host
+    reassembles stream order from its stored permutation.
     """
     rows = cfg.array_width // n
     idx = jax.lax.axis_index("tx")
@@ -166,6 +224,11 @@ def halo_micro_step_sharded(state: SurfaceState, batch,
     S = cfg.causal_snapshots
     P = cfg.sub_phases
     t0s = batch[2, P * S * bs:]      # global phase start stamps (tail)
+    corr = (cfg.center_correction and t_c2 is not None
+            and batch.shape[0] > 5)
+    loc_maps = []
+    ap_tables = []
+    chain_ext = []
     A_coarse = 0
     if cfg.aperture_sub_phases:
         a = cfg.aperture_sub_phases
@@ -191,6 +254,8 @@ def halo_micro_step_sharded(state: SurfaceState, batch,
     # halo_micro_step)
     phases = []
     t_pre_ext = exchange_halo(t_surf, R, n)
+    if corr:
+        chain_ext.append(t_pre_ext)
     for p in range(P):
         sl = slice(p * S * bs, (p + 1) * S * bs)
         xs, ys, ts = x[sl], y[sl], t[sl]
@@ -209,8 +274,12 @@ def halo_micro_step_sharded(state: SurfaceState, batch,
                 ep_val, mode="drop", unique_indices=True)
             if si < S - 1:
                 snaps_mid_ext.append(exchange_halo(t_surf, R, n))
+                if corr and not cfg.correction_coarse_chain:
+                    chain_ext.append(snaps_mid_ext[-1])
         written = epoch == ep_val
         t_post_ext = exchange_halo(t_surf, R, n)
+        if corr:
+            chain_ext.append(t_post_ext)
         phases.append((xs, ys, lx, in_core, written,
                        t_pre_ext, tuple(snaps_mid_ext), t_post_ext))
         t_pre_ext = t_post_ext
@@ -238,17 +307,19 @@ def halo_micro_step_sharded(state: SurfaceState, batch,
             written, jnp.where(gate_map, vy_map, 0.0), flow_vy)
 
         safe_lx = jnp.clip(lx, 0, rows - 1)
-        if A_coarse:
-            sc = lambda a: jnp.nan_to_num(a, nan=0.0, posinf=0.0,
-                                          neginf=0.0)
+        sc = lambda a: jnp.nan_to_num(a, nan=0.0, posinf=0.0, neginf=0.0)
+        if corr:
+            loc_maps.append(jnp.stack([sc(vx_map), sc(vy_map),
+                                       gate_map.astype(jnp.float32)]))
+        elif A_coarse:
             loc = onehot_gather(
                 jnp.stack([sc(vx_map), sc(vy_map),
                            gate_map.astype(jnp.float32)]),
                 safe_lx, ys, rows, cfg.height)
             loc = jnp.where(in_core[None, :], loc, 0.0)
             pending.append((safe_lx, ys, in_core, loc))
-            if (p + 1) % (P // A_coarse) != 0:
-                continue
+        if A_coarse and (p + 1) % (P // A_coarse) != 0:
+            continue
         integ_ext = assemble_integral_band(flow_len, flow_vx, flow_vy,
                                            cfg, n, A)
         if pk_apert:
@@ -257,9 +328,11 @@ def halo_micro_step_sharded(state: SurfaceState, batch,
         else:
             tvx_map, tvy_map, scale_map = dense_aperture(
                 flow_len, flow_vx, flow_vy, cfg, halo=A, integ=integ_ext)
+        if corr:
+            ap_tables.append(jnp.stack([sc(tvx_map), sc(tvy_map),
+                                        scale_map.astype(jnp.float32)]))
+            continue
         if A_coarse:
-            sc = lambda a: jnp.nan_to_num(a, nan=0.0, posinf=0.0,
-                                          neginf=0.0)
             amaps = jnp.stack([sc(tvx_map), sc(tvy_map),
                                scale_map.astype(jnp.float32)])
             for glx, gys, gcore, gloc in pending:
@@ -279,23 +352,37 @@ def halo_micro_step_sharded(state: SurfaceState, batch,
         lanes = onehot_gather(out_maps, safe_lx, ys, rows, cfg.height)
         lanes_out.append(jnp.where(in_core[None, :], lanes, 0.0))
 
-    lanes = (lanes_out[0] if len(lanes_out) == 1
-             else jnp.concatenate(lanes_out, axis=1))
+    if corr:
+        head = P * S * bs
+        lx_all = x[:head] - row0
+        in_core_all = (lx_all >= 0) & (lx_all < rows)
+        grp_all = (jax.lax.broadcasted_iota(
+            jnp.int32, (1, head), 1)[0] // jnp.int32(S * bs))
+        lanes = _corr_assemble(cfg, pk_local, chain_ext, t_c2,
+                               loc_maps, ap_tables, rows, row0,
+                               lx_all, y[:head], in_core_all,
+                               batch[5, :head] != 0, grp_all)
+    else:
+        lanes = (lanes_out[0] if len(lanes_out) == 1
+                 else jnp.concatenate(lanes_out, axis=1))
     out = wire_pack(lanes[0], lanes[1], lanes[2], lanes[3], lanes[4], cfg)
     new_state = SurfaceState(t_surf, epoch, flow_len, flow_vx, flow_vy,
                              state.step + 1)
     return new_state, out
 
 
-def halo_micro_step(state: SurfaceState, batch, cfg: FlowConfig, n: int):
+def halo_micro_step(state: SurfaceState, batch, cfg: FlowConfig, n: int,
+                    t_c2=None):
     """One micro-step executed per shard under shard_map.
 
     `state` holds this shard's [rows, H] surface bands; `batch` is the
     replicated packed int32 [5, m] micro-batch (host-resolved winners,
-    pipeline/engine.py pack()). Mirrors micro_step's dense branch -
-    including cfg.sub_phases causal groups, each with its own band
-    exchanges - with the two stencil stages running on halo-extended
-    local bands.
+    pipeline/engine.py pack()) - [6, m] with the rank-2 corrected-lane
+    flag row when `t_c2` (this shard's band of the host-built center
+    surface, FlowConfig.center_correction) is given. Mirrors
+    micro_step's dense branch - including cfg.sub_phases causal groups,
+    each with its own band exchanges - with the two stencil stages
+    running on halo-extended local bands.
     """
     rows = cfg.array_width // n
     idx = jax.lax.axis_index("tx")
@@ -306,6 +393,11 @@ def halo_micro_step(state: SurfaceState, batch, cfg: FlowConfig, n: int):
     m_total = x.shape[0]
     P = cfg.sub_phases if m_total % cfg.sub_phases == 0 else 1
     mp = m_total // P
+    corr = (cfg.center_correction and t_c2 is not None
+            and batch.shape[0] > 5)
+    loc_maps = []
+    ap_tables = []
+    chain_ext = []
     # causal snapshots (FlowConfig.causal_snapshots): each phase scatters
     # in S chronological sub-groups; every boundary surface is halo-
     # exchanged so the plane-fit fold sees the same chain as micro_step's
@@ -351,6 +443,8 @@ def halo_micro_step(state: SurfaceState, batch, cfg: FlowConfig, n: int):
     # scatter group total. ----
     phases = []
     t_pre_ext = exchange_halo(t_surf, R, n)
+    if corr:
+        chain_ext.append(t_pre_ext)
     for p in range(P):
         sl = slice(p * mp, (p + 1) * mp)
         xs, ys, ts = x[sl], y[sl], t[sl]
@@ -377,8 +471,12 @@ def halo_micro_step(state: SurfaceState, batch, cfg: FlowConfig, n: int):
                     ep_val, mode="drop", unique_indices=True)
                 if si < S - 1:
                     snaps_mid_ext.append(exchange_halo(t_surf, R, n))
+                    if corr and not cfg.correction_coarse_chain:
+                        chain_ext.append(snaps_mid_ext[-1])
         written = epoch == ep_val
         t_post_ext = exchange_halo(t_surf, R, n)
+        if corr:
+            chain_ext.append(t_post_ext)
         phases.append((xs, ys, ts, lx, in_core, written,
                        t_pre_ext, tuple(snaps_mid_ext), t_post_ext))
         t_pre_ext = t_post_ext
@@ -414,20 +512,24 @@ def halo_micro_step(state: SurfaceState, batch, cfg: FlowConfig, n: int):
             written, jnp.where(gate_map, vy_map, 0.0), flow_vy)
 
         safe_lx = jnp.clip(lx, 0, rows - 1)
-        if A_coarse:
+        sc = lambda a: jnp.nan_to_num(a, nan=0.0, posinf=0.0, neginf=0.0)
+        if corr:
+            # correction mode defers every lane gather to the merged-
+            # table assembly after the loop (_corr_assemble)
+            loc_maps.append(jnp.stack([sc(vx_map), sc(vy_map),
+                                       gate_map.astype(jnp.float32)]))
+        elif A_coarse:
             # buffer this group's plane-fit lanes (scrubbed f32 + gate;
             # zero off-shard so the final psum stays exact) until the
             # aperture pass that covers it
-            sc = lambda a: jnp.nan_to_num(a, nan=0.0, posinf=0.0,
-                                          neginf=0.0)
             loc = onehot_gather(
                 jnp.stack([sc(vx_map), sc(vy_map),
                            gate_map.astype(jnp.float32)]),
                 safe_lx, ys, rows, cfg.height)
             loc = jnp.where(in_core[None, :], loc, 0.0)
             pending.append((safe_lx, ys, in_core, loc))
-            if (p + 1) % (P // A_coarse) != 0:
-                continue
+        if A_coarse and (p + 1) % (P // A_coarse) != 0:
+            continue
 
         # ---- aperture stage by exchanged integral partials: each shard
         # integrates only its own rows; the band carries global-integral
@@ -442,9 +544,11 @@ def halo_micro_step(state: SurfaceState, batch, cfg: FlowConfig, n: int):
             tvx_map, tvy_map, scale_map = dense_aperture(
                 flow_len, flow_vx, flow_vy, cfg, halo=A, integ=integ_ext)
 
+        if corr:
+            ap_tables.append(jnp.stack([sc(tvx_map), sc(tvy_map),
+                                        scale_map.astype(jnp.float32)]))
+            continue
         if A_coarse:
-            sc = lambda a: jnp.nan_to_num(a, nan=0.0, posinf=0.0,
-                                          neginf=0.0)
             amaps = jnp.stack([sc(tvx_map), sc(tvy_map),
                                scale_map.astype(jnp.float32)])
             for glx, gys, gcore, gloc in pending:
@@ -477,8 +581,18 @@ def halo_micro_step(state: SurfaceState, batch, cfg: FlowConfig, n: int):
     # traffic is the reduce-scatter's (n-1)/n instead of a full
     # all-reduce + replicated fetch). Falls back to psum + replicated
     # output when n does not divide m.
-    lanes = (lanes_out[0] if P == 1
-             else jnp.concatenate(lanes_out, axis=1))
+    if corr:
+        lx_all = x - row0
+        in_core_all = (lx_all >= 0) & (lx_all < rows)
+        grp_all = (jax.lax.broadcasted_iota(
+            jnp.int32, (1, m_total), 1)[0] // jnp.int32(mp))
+        lanes = _corr_assemble(cfg, pk_local, chain_ext, t_c2,
+                               loc_maps, ap_tables, rows, row0,
+                               lx_all, y, in_core_all,
+                               batch[5] != 0, grp_all)
+    else:
+        lanes = (lanes_out[0] if P == 1
+                 else jnp.concatenate(lanes_out, axis=1))
     if n > 1 and m_total % n == 0:
         lanes = jax.lax.psum_scatter(lanes, "tx", scatter_dimension=1,
                                      tiled=True)
@@ -508,10 +622,6 @@ class HaloFlowEngine(FlowEngine):
                 "or a divisor of sub_phases (coarse pooling, the "
                 "fidelity-preset shape); FINER aperture phasing is a "
                 "base/micro_step engine feature")
-        if cfg.center_correction:
-            raise ValueError(
-                "center_correction is a base/micro_step engine feature "
-                "(the correction pass is not sharded yet; see ROADMAP)")
         if mesh is None:
             devs = jax.devices()
             if num_devices is not None:
@@ -551,6 +661,29 @@ class HaloFlowEngine(FlowEngine):
             return jax.lax.scan(lambda st, b: step(st, b), state, chunk)
 
         self._scan = _scan
+        self._r2c_queue = []
+        if cfg.center_correction:
+            # sharded rank-2 correction: the pass-2 chain re-uses pass
+            # 1's exchanged bands (no new collectives); the host-built
+            # center surface ships row-sharded next to the state
+            self._ctr_sharding = NamedSharding(mesh, P(None, "tx", None))
+            corr_step = jax.shard_map(
+                lambda st, b, c2: halo_micro_step(st, b, cfg=cfg, n=n,
+                                                  t_c2=c2),
+                mesh=mesh,
+                in_specs=(state_specs, P(None, None), P("tx", None)),
+                out_specs=(state_specs, out_specs),
+                check_vma=False,
+            )
+
+            @functools.partial(jax.jit, donate_argnums=(0,),
+                               out_shardings=(self._state_shardings, None))
+            def _scan_corr(state, chunk, ctrs):
+                return jax.lax.scan(
+                    lambda st, xs: corr_step(st, xs[0], xs[1]),
+                    state, (chunk, ctrs))
+
+            self._scan_corr = _scan_corr
 
         # owner-sharded upload path (VERDICT.md r4 item 6): per scatter
         # sub-group, the host reorders lanes by owning row shard with 2x
@@ -582,6 +715,25 @@ class HaloFlowEngine(FlowEngine):
 
             self._scan_sharded = _scan_sharded
             self._batch_sharding = NamedSharding(mesh, P(None, "tx"))
+            if cfg.center_correction:
+                sstep_corr = jax.shard_map(
+                    lambda st, b, c2: sstep(st, b[0], t_c2=c2),
+                    mesh=mesh,
+                    in_specs=(state_specs, P("tx", None, None),
+                              P("tx", None)),
+                    out_specs=(state_specs, (P(None, "tx"), P("tx"))),
+                    check_vma=False,
+                )
+
+                @functools.partial(
+                    jax.jit, donate_argnums=(0,),
+                    out_shardings=(self._state_shardings, None))
+                def _scan_sharded_corr(state, chunk, ctrs):
+                    return jax.lax.scan(
+                        lambda st, xs: sstep_corr(st, xs[0], xs[1]),
+                        state, (chunk, ctrs))
+
+                self._scan_sharded_corr = _scan_sharded_corr
 
     def pack(self, ev, steps_per_call=None, compact=False):
         """5-row pack + owner-shard reorder (halo_micro_step_sharded).
@@ -596,12 +748,25 @@ class HaloFlowEngine(FlowEngine):
         """
         packed, nn = super().pack(ev, steps_per_call=steps_per_call,
                                   compact=False)
+        cfg = self.cfg
+        self._r2c_queue = []
+        if cfg.center_correction:
+            # rank-2 data: flags ride as a 6th packed row (reordered
+            # with their lanes on the owner-sharded path); the
+            # host-built center surfaces queue per call for _dispatch,
+            # padded to the sharded array geometry
+            fl, ctr = self.pack_r2(ev, steps_per_call=steps_per_call)
+            packed = np.concatenate(
+                [packed, fl[:, :, None, :].astype(np.int32)], axis=2)
+            aw, ah = cfg.array_width, cfg.array_height
+            ctr = np.pad(ctr, ((0, 0), (0, 0),
+                               (0, aw - cfg.width), (0, ah - cfg.height)))
+            self._r2c_queue = [ctr[c] for c in range(ctr.shape[0])]
         n = self.n_shards
         self._shard_layout = None
         if n == 1:
             return packed, nn
-        cfg = self.cfg
-        n_calls, spc, _, m = packed.shape
+        n_calls, spc, n_rows, m = packed.shape
         G = cfg.sub_phases * cfg.causal_snapshots
         blk = m // G
         bs = self._bs
@@ -614,7 +779,7 @@ class HaloFlowEngine(FlowEngine):
         pad = packed[:, :, 3, :] == 0
         owner = np.where(pad, np.arange(m, dtype=np.int64) % n, owner)
         msh = G * bs + cfg.sub_phases
-        shard_pack = np.zeros((n_calls, spc, n, 5, msh), np.int32)
+        shard_pack = np.zeros((n_calls, spc, n, n_rows, msh), np.int32)
         # stamp-row tail = global phase start stamps (kill reference)
         shard_pack[:, :, :, 2, G * bs:] = (
             packed[:, :, 2, ::mp][:, :, None, :cfg.sub_phases])
@@ -666,10 +831,21 @@ class HaloFlowEngine(FlowEngine):
     def reset(self):
         super().reset()
         self.state = jax.device_put(self.state, self._state_shardings)
+        self._r2c_queue = []
+        self._shard_layout = None
 
     def _dispatch(self, chunk):
+        ctr = None
+        if self._r2c_queue:
+            # per-call center surfaces, queued by pack() in call order
+            ctr = jax.device_put(jnp.asarray(self._r2c_queue.pop(0)),
+                                 self._ctr_sharding)
         if chunk.ndim == 4:                 # owner-sharded layout
             chunk = jax.device_put(chunk, self._batch_sharding)
+            if ctr is not None:
+                return self._scan_sharded_corr(self.state, chunk, ctr)
             return self._scan_sharded(self.state, chunk)
         chunk = jax.device_put(chunk, self._repl)
+        if ctr is not None:
+            return self._scan_corr(self.state, chunk, ctr)
         return self._scan(self.state, chunk)

@@ -272,3 +272,80 @@ def test_halo_owner_sharded_overflow_falls_back():
     assert eng._shard_layout is None               # replicated fallback
     np.testing.assert_allclose(b.vx, a.vx, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(b.r_true, a.r_true, rtol=1e-5, atol=1e-6)
+
+
+def test_halo_engine_correction_matches_base():
+    """The FULL round-5 fidelity shape - snapshots, coarse pooling, AND
+    the rank-2 center-correction pass - on the halo engine matches the
+    single-device engine (owner-sharded and replicated layouts)."""
+    import numpy as np
+
+    from farms_tpu.events.io import EventBatch
+    from farms_tpu.pipeline.engine import FlowEngine
+
+    # four parallel bars + repeats: spread over shards AND rank-2 lanes
+    xs, ys, ts = [], [], []
+    for step in range(12):
+        for yy in range(10, 40):
+            for b, x0 in enumerate((2, 18, 34, 50)):
+                xs.append(x0 + step)
+                ys.append(yy)
+                ts.append(1000 + step * 400 + (yy - 10) * 2 + b)
+                if (yy + step) % 5 == 0:      # rewrite => rank-2 lanes
+                    xs.append(x0 + step)
+                    ys.append(yy)
+                    ts.append(1000 + step * 400 + (yy - 10) * 2 + b + 1)
+    order = np.argsort(np.asarray(ts), kind="stable")
+    ev = EventBatch(np.asarray(xs, np.int32)[order],
+                    np.asarray(ys, np.int32)[order],
+                    np.asarray(ts, np.uint32)[order],
+                    np.ones(len(xs), np.int32))
+    cfg = FlowConfig(width=64, height=48, chunk_size=128, steps_per_scan=2,
+                     max_window=10, window_jump=5, use_pallas=False,
+                     sub_phases=4, aperture_sub_phases=2,
+                     causal_snapshots=2, center_correction=32,
+                     correction_coarse_chain=True)
+    base = FlowEngine(cfg).process(ev)
+    eng = HaloFlowEngine(cfg, num_devices=4)
+    b_sh = eng.process(ev)
+    used_sharded = eng._shard_layout is not None
+    # correction must actually fire (rank-2 lanes exist)
+    fl, _ = FlowEngine(cfg).pack_r2(ev)
+    assert fl.sum() > 20
+    # replicated halo layout
+    eng_r = HaloFlowEngine(cfg, num_devices=4)
+    orig = eng_r.pack
+
+    def replicated_pack(ev2, steps_per_call=None, compact=False):
+        out = orig(ev2, steps_per_call=steps_per_call, compact=compact)
+        if out[0].ndim == 5:
+            # rebuild without the owner reorder: rerun through the base
+            # packer + correction rows
+            eng_r._shard_layout = None
+            eng_r._r2c_queue = []
+            packed, nn = FlowEngine.pack(eng_r, ev2,
+                                         steps_per_call=steps_per_call,
+                                         compact=False)
+            fl2, ctr2 = eng_r.pack_r2(ev2, steps_per_call=steps_per_call)
+            packed = np.concatenate(
+                [packed, fl2[:, :, None, :].astype(np.int32)], axis=2)
+            eng_r._r2c_queue = [ctr2[c] for c in range(ctr2.shape[0])]
+            return packed, nn
+        return out
+
+    eng_r.pack = replicated_pack
+    b_re = eng_r.process(ev)
+    # sharded == replicated exactly when the sharded layout engaged
+    if used_sharded:
+        for col in ("vx", "vy", "r_local", "r_true", "scale"):
+            np.testing.assert_array_equal(np.asarray(getattr(b_re, col)),
+                                          np.asarray(getattr(b_sh, col)),
+                                          err_msg=col)
+    # vs base: local columns exact; true columns near-tie tolerant
+    np.testing.assert_allclose(b_sh.vx, base.vx, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(b_sh.vy, base.vy, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(b_sh.r_local, base.r_local,
+                               rtol=1e-5, atol=1e-6)
+    close = np.isclose(np.asarray(b_sh.r_true), np.asarray(base.r_true),
+                       rtol=1e-4, atol=1e-5)
+    assert close.mean() > 0.97, close.mean()
