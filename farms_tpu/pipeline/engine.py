@@ -675,26 +675,17 @@ def micro_step(state: SurfaceState, batch, cfg: FlowConfig):
 def scan_chunk(state: SurfaceState, chunk, cfg: FlowConfig):
     """Run several micro-steps under one jit via lax.scan.
 
-    `chunk` is int32 [n_steps, rows, m] with rows=5 (x, y, t, lane_valid,
-    winner) or the compact rows=2 layout (see micro_step); output is the
-    wire pair (i32 [n_steps, C, m], u8 [n_steps, m]) - see wire_pack.
+    `chunk` is any per-step pytree micro_step accepts with a leading
+    [n_steps] axis on every leaf: an int32 [n_steps, rows, m] array
+    (rows=5 explicit or rows=2 compact) or the dict batch ("ev" +
+    optional "base"/"esc" compact2 aux, "wesc" equal-stamp escapes,
+    "r2f"/"r2c" correction data). Output is the wire pair
+    (i32 [n_steps, C, m], u8 [n_steps, m]) - see wire_pack.
     """
     def body(st, batch):
         return micro_step(st, batch, cfg)
 
     return jax.lax.scan(body, state, chunk)
-
-
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
-def scan_chunk2(state: SurfaceState, chunk, bases, escapes,
-                cfg: FlowConfig):
-    """scan_chunk for the compact2 wire: `chunk` int32 [n_steps, 1, m]
-    delta-coded words + `bases` int32 [n_steps] per-step first stamps +
-    `escapes` int32 [n_steps, 2, E] oversized-delta pairs."""
-    def body(st, xs):
-        return micro_step(st, xs, cfg)
-
-    return jax.lax.scan(body, state, (chunk, bases, escapes))
 
 
 def _sparse_pack_outputs(main, aux):
@@ -764,17 +755,6 @@ def scan_chunk_sparse(state: SurfaceState, chunk, cfg: FlowConfig):
         return micro_step(st, batch, cfg)
 
     state, (main, aux) = jax.lax.scan(body, state, chunk)
-    return state, _sparse_pack_outputs(main, aux)
-
-
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
-def scan_chunk2_sparse(state: SurfaceState, chunk, bases, escapes,
-                       cfg: FlowConfig):
-    """scan_chunk2 + on-device sparse-wire compaction (cfg.wire='sparse')."""
-    def body(st, xs):
-        return micro_step(st, xs, cfg)
-
-    state, (main, aux) = jax.lax.scan(body, state, (chunk, bases, escapes))
     return state, _sparse_pack_outputs(main, aux)
 
 
