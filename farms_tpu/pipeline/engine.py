@@ -10,7 +10,7 @@ checkpoint/resume mechanism: the surface pytree *is* the whole state).
 Host<->device traffic is packed: one int32 [steps, rows, m] upload per
 call — rows=5 (x, y, t, lane_valid, winner), the compact rows=2 layout
 (flat index | winner<<30, t; 8 bytes/event), or the delta-coded compact2
-rows=1 layout (4 bytes/event, pack2/scan_chunk2; geometry-derived field
+rows=1 layout (4 bytes/event, pack2 + the dict batch; geometry-derived field
 widths, oversized gaps escape-coded exactly) — and one wire-format download
 (i32 [steps, C, m] flow components + u8 [steps, m] validity/scale; 9-17
 bytes/event, see wire_pack, or the validity-sparse "sparse" layout at
