@@ -131,6 +131,7 @@ class MultiHostFlowEngine(FlowEngine):
         # main thread, one deterministic global collective order.
         self._FETCH_THREADS = (0 if jax.process_count() > 1
                                else FlowEngine._FETCH_THREADS)
+        self._aux_queue = []
 
         @functools.partial(
             jax.jit,
@@ -173,19 +174,67 @@ class MultiHostFlowEngine(FlowEngine):
 
     def place_state(self, state: SurfaceState) -> SurfaceState:
         # multi-process placement cannot device_put host arrays directly;
-        # route through the per-process shard construction
+        # route through the per-process shard construction. Re-seed the
+        # pack_wesc host stamp mirror from the incoming host state (the
+        # globally-sharded device state is not host-addressable).
+        self._last_stamp = np.ascontiguousarray(
+            np.asarray(state.t_surf)[:self.cfg.width, :self.cfg.height]
+        ).reshape(-1).astype(np.int32).copy()
         return self._put_state(state)
 
     def reset(self):
         from farms_tpu.state.surfaces import init_state
         self.state = self._put_state(init_state(self.cfg))
         self._t0 = None
+        self._last_stamp = np.zeros(
+            self.cfg.width * self.cfg.height, np.int32)
+        self._aux_queue = []
+
+    def pack(self, ev, steps_per_call=None, compact=False):
+        """Base pack + per-call aux dicts (derived-written escapes and
+        the rank-2 correction data), queued for _dispatch.
+
+        The aux arrays become leaves of the global dict batch: escapes
+        replicated, corrected-lane flags sharded over 'ev' with the
+        lanes, the center surface sharded over 'tx' with the state.
+        """
+        packed, n = super().pack(ev, steps_per_call=steps_per_call,
+                                 compact=compact)
+        cfg = self.cfg
+        self._aux_queue = []
+        wesc, ok = self.pack_wesc(ev, steps_per_call=steps_per_call)
+        r2 = None
+        if cfg.center_correction:
+            r2 = self.pack_r2(ev, steps_per_call=steps_per_call)
+        for c in range(packed.shape[0]):
+            d = {}
+            if ok[c]:
+                d["wesc"] = wesc[c]
+            if r2 is not None:
+                d["r2f"] = r2[0][c]
+                ctr = np.pad(
+                    r2[1][c],
+                    ((0, 0), (0, cfg.array_width - cfg.width),
+                     (0, cfg.array_height - cfg.height)))
+                d["r2c"] = ctr
+            self._aux_queue.append(d)
+        return packed, n
+
+    def _global(self, arr, spec):
+        arr = np.asarray(arr)
+        sh = NamedSharding(self.mesh, spec)
+        return jax.make_array_from_callback(
+            arr.shape, sh, lambda idx: arr[idx])
 
     def _dispatch(self, chunk):
-        chunk = np.asarray(chunk)
-        global_chunk = jax.make_array_from_callback(
-            chunk.shape, self._batch_sharding, lambda idx: chunk[idx])
-        return self._scan(self.state, global_chunk, self.cfg)
+        batch = {"ev": self._global(chunk, P(None, None, "ev"))}
+        aux = self._aux_queue.pop(0) if self._aux_queue else {}
+        if "wesc" in aux:
+            batch["wesc"] = self._global(aux["wesc"], P())
+        if "r2f" in aux:
+            batch["r2f"] = self._global(aux["r2f"], P(None, "ev"))
+            batch["r2c"] = self._global(aux["r2c"], P(None, "tx", None))
+        return self._scan(self.state, batch, self.cfg)
 
     # ---- rank-distributed output writing --------------------------------
     def write_flow_distributed(self, ev, base_path: str) -> str:

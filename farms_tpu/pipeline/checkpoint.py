@@ -95,10 +95,9 @@ def load_engine(engine: FlowEngine, path: str) -> FlowEngine:
         )
         # re-apply the engine's sharding placement (single-device engines
         # pass through; sharded engines distribute over their mesh)
+        # place_state also re-seeds the pack_wesc host stamp mirror from
+        # the restored t_surf (a stale mirror would derive wrong
+        # equal-stamp escapes for the derived-written path)
         engine.state = engine.place_state(state)
         engine._t0 = np.uint32(data["t0"]) if bool(data["has_t0"]) else None
-        # invalidate the host stamp mirror (pack_wesc) so the restored
-        # t_surf re-seeds it; a stale mirror would derive wrong
-        # equal-stamp escapes for the derived-written path
-        engine._last_stamp = None
     return engine

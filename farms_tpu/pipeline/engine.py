@@ -768,7 +768,10 @@ class FlowEngine:
         self.cfg = cfg
         self.state = init_state(cfg)
         self._t0 = None
-        self._last_stamp = None   # host mirror of t_surf for pack_wesc
+        # host mirror of t_surf (stamp1, semantic geometry) for
+        # pack_wesc; kept eagerly so it works for engines whose device
+        # state is not host-addressable (multi-process global arrays)
+        self._last_stamp = np.zeros(cfg.width * cfg.height, np.int32)
         # transport instrumentation (bench: fetches_per_call / RTT-floor
         # arithmetic, VERDICT.md r4 item 3): device->host fetch count and
         # wall seconds, updated under a lock by the fetch workers
@@ -779,7 +782,8 @@ class FlowEngine:
     def reset(self):
         self.state = init_state(self.cfg)
         self._t0 = None
-        self._last_stamp = None
+        self._last_stamp = np.zeros(
+            self.cfg.width * self.cfg.height, np.int32)
 
     def place_state(self, state: SurfaceState) -> SurfaceState:
         """Apply this engine's device/sharding placement to a state pytree.
@@ -789,6 +793,12 @@ class FlowEngine:
         sharding for every leaf); checkpoint restore uses this so a saved
         state re-enters the engine's mesh layout (VERDICT.md item 9).
         """
+        # re-seed the host stamp mirror from the incoming (host-side)
+        # state: pack_wesc's equal-stamp detection must track the
+        # surfaces this engine now carries
+        self._last_stamp = np.ascontiguousarray(
+            np.asarray(state.t_surf)[:self.cfg.width, :self.cfg.height]
+        ).reshape(-1).astype(np.int32).copy()
         sh = (getattr(self, "_state_shardings", None)
               or getattr(self, "_state_sharding", None))
         return jax.device_put(state, sh) if sh is not None else state
@@ -922,8 +932,8 @@ class FlowEngine:
         per_call = m * spc
         n_calls = max(1, -(-n // per_call))
         if self._last_stamp is None:
-            # host mirror of the device t_surf (stamp1); a restored
-            # checkpoint re-enters through place_state + this fetch
+            # legacy lazy path (direct state assignment without
+            # place_state): fetch the mirror from the device state
             self._last_stamp = np.ascontiguousarray(
                 np.asarray(self.state.t_surf)[:W, :H]).reshape(-1).copy()
         last = self._last_stamp

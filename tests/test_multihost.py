@@ -149,3 +149,42 @@ def test_two_process_multihost_matches_single_process(tmp_path):
     assert os.path.exists(dist_txt), "distributed writer produced no file"
     with open(want_txt, "rb") as a, open(dist_txt, "rb") as b:
         assert a.read() == b.read(), "distributed txt != single-process txt"
+
+
+def test_multihost_engine_correction_matches_flow_engine():
+    """The full round-5 fidelity shape - snapshots, coarse pooling, and
+    the rank-2 center correction - on the (single-process) multihost
+    engine over the ('tx','ev') mesh matches the base engine."""
+    import numpy as np
+
+    from farms_tpu.config import FlowConfig
+    from farms_tpu.events.io import EventBatch
+    from farms_tpu.parallel.multihost import (MultiHostFlowEngine,
+                                              make_global_mesh)
+    from farms_tpu.pipeline.engine import FlowEngine
+
+    rng = np.random.default_rng(2)
+    n = 1024
+    x = rng.integers(0, 64, n).astype(np.int32)
+    y = rng.integers(0, 48, n).astype(np.int32)
+    t = np.sort(rng.integers(0, 30000, n)).astype(np.uint32)
+    # guarantee rank-2 lanes: every 16th event rewrites its predecessor's
+    # pixel (same plane-fit group by adjacency)
+    x[1::16] = x[::16][:x[1::16].size]
+    y[1::16] = y[::16][:y[1::16].size]
+    ev = EventBatch(x, y, t, np.ones(n, np.int32))
+    cfg = FlowConfig(width=64, height=48, chunk_size=128, steps_per_scan=2,
+                     max_window=10, window_jump=5, use_pallas=False,
+                     sub_phases=4, aperture_sub_phases=2,
+                     causal_snapshots=2, center_correction=32,
+                     correction_coarse_chain=True)
+    a = FlowEngine(cfg).process(ev)
+    mesh = make_global_mesh(tx=4, ev=2)
+    b = MultiHostFlowEngine(cfg, mesh=mesh).process(ev)
+    # rank-2 lanes must exist so the correction actually fires
+    fl, _ = FlowEngine(cfg).pack_r2(ev)
+    assert fl.sum() > 5
+    for col in ("vx", "vy", "r_local", "r_true", "scale"):
+        np.testing.assert_allclose(np.asarray(getattr(b, col)),
+                                   np.asarray(getattr(a, col)),
+                                   rtol=1e-5, atol=1e-6, err_msg=col)
