@@ -31,7 +31,9 @@ def main() -> int:
     from farms_tpu.parallel.multihost import MultiHostFlowEngine, make_global_mesh
 
     cfg = FlowConfig(width=64, height=48, chunk_size=64, steps_per_scan=2,
-                     max_window=10, window_jump=5, use_pallas=False)
+                     max_window=10, window_jump=5, use_pallas=False,
+                     sub_phases=2, causal_snapshots=2,
+                     center_correction=16, correction_coarse_chain=True)
     mesh = make_global_mesh(tx=2, ev=2)
     eng = MultiHostFlowEngine(cfg, mesh=mesh)
 
@@ -40,6 +42,13 @@ def main() -> int:
     full = synthetic_translating_bar(width=64, height=48, bar_len=20,
                                      speed_px_per_sec=2000.0,
                                      duration_us=20000)
+    # duplicate every 16th event at its predecessor's pixel so rank-2
+    # lanes exist and the correction path genuinely fires
+    import numpy as _np
+    fx, fy = full.x.copy(), full.y.copy()
+    fx[1::16] = fx[::16][:fx[1::16].size]
+    fy[1::16] = fy[::16][:fy[1::16].size]
+    full = EventBatch(fx, fy, full.t, full.pol)
     half = len(full) // 2
     ev = EventBatch(full.x[:half], full.y[:half], full.t[:half],
                     full.pol[:half])
