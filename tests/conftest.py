@@ -42,6 +42,16 @@ _SLOW = {
     "test_multihost_engine_single_process_matches_flow_engine",
     "test_cli_engine_selection",
     "test_stream_equals_oneshot_with_phases_and_f16_wire",
+    # round-5 additions >= ~40 s each; their fast-tier representatives
+    # are the written-escape tests, the correction invariance/pack_r2
+    # units, the halo overflow fallback, and the jaxpr-ordering assert
+    "test_halo_engine_correction_matches_base",
+    "test_multihost_engine_correction_matches_flow_engine",
+    "test_halo_owner_sharded_upload_matches_base",
+    "test_halo_engine_fidelity_shape_matches_base",
+    "test_derived_written_matches_epoch_path",
+    "test_rank2_lane_matches_serial_fit",
+    "test_continuation_matches_one_shot",
 }
 
 
